@@ -1,0 +1,357 @@
+"""Flax building blocks for the semantic-pyramid GAN.
+
+Every spectrally-normalized layer carries its power-iteration vectors in the
+`spectral` variable collection and its normalization statistics in
+`batch_stats`; both are threaded functionally through jitted train steps
+(see ops/spectral_norm.py for the design rationale).
+
+Reference architecture: /root/reference/models.py (SelfAttention :219-275,
+GeneratorResidualBlock :278-339, LinearBlock :342-375, discriminator blocks
+:378-466, ConditionalBatchNorm :469-506, init :509-519).
+
+All spatial tensors are NHWC (TPU-native; the reference is NCHW).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
+    l2_normalize,
+    spectral_norm_weight,
+)
+from semantic_pyramid_for_image_generation_tpu.ops.pool import avg_pool_2d, max_pool_2d
+from semantic_pyramid_for_image_generation_tpu.ops.resize import (
+    upsample_bilinear_align_corners,
+)
+
+LEAKY_SLOPE = 0.2
+
+
+def lrelu(x: jax.Array) -> jax.Array:
+    return nn.leaky_relu(x, LEAKY_SLOPE)
+
+
+def _xavier_uniform():
+    return nn.initializers.xavier_uniform()
+
+
+def matmul_precision(dtype) -> jax.lax.Precision | None:
+    """fp32 mode is the torch-parity mode: force fp32 MXU accumulation.
+    bf16 mode is the TPU perf mode: let XLA use native bf16 MXU passes."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+class _SpectralMixin:
+    """Shared helper: spectral-normalize a 2D weight view with state threading."""
+
+    def _spectral_scale(self, w2d: jax.Array, update: bool) -> jax.Array:
+        rows, cols = w2d.shape
+
+        def init_u():
+            return l2_normalize(
+                jax.random.normal(self.make_rng("params"), (rows,), jnp.float32))
+
+        def init_v():
+            return l2_normalize(
+                jax.random.normal(self.make_rng("params"), (cols,), jnp.float32))
+
+        u_var = self.variable("spectral", "u", init_u)
+        v_var = self.variable("spectral", "v", init_v)
+        do_update = update and not self.is_initializing()
+        sigma, u_new, v_new = spectral_norm_weight(
+            w2d, u_var.value, v_var.value, update=do_update)
+        if do_update:
+            u_var.value = u_new
+            v_var.value = v_new
+        return sigma
+
+
+class SNConv(nn.Module, _SpectralMixin):
+    """Spectrally-normalized 2D convolution (NHWC), torch-parity semantics.
+
+    The power iteration runs on the weight viewed as (out, in*kh*kw), matching
+    torch's reshape of its OIHW kernel, so converted `.pt` checkpoints resume
+    with identical sigma trajectories.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", _xavier_uniform(), (kh, kw, in_ch, self.features), jnp.float32)
+        # HWIO -> OIHW -> (O, I*kh*kw): the exact matrix torch iterates on.
+        w2d = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
+        sigma = self._spectral_scale(w2d, update=train)
+        kernel = (kernel / sigma).astype(self.dtype)
+        pad = [(self.padding, self.padding)] * 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel,
+            window_strides=self.strides, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=matmul_precision(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class SNDense(nn.Module, _SpectralMixin):
+    """Spectrally-normalized linear layer; iterates on the (out, in) matrix."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        in_f = x.shape[-1]
+        kernel = self.param(
+            "kernel", _xavier_uniform(), (in_f, self.features), jnp.float32)
+        sigma = self._spectral_scale(kernel.T, update=train)
+        y = jnp.matmul(x.astype(self.dtype), (kernel / sigma).astype(self.dtype),
+                       precision=matmul_precision(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class SNEmbedding(nn.Module, _SpectralMixin):
+    """Spectrally-normalized embedding (discriminator class projection,
+    /root/reference/models.py:135-136). Iterates on the (num, dim) table."""
+
+    num_embeddings: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx: jax.Array, train: bool = True) -> jax.Array:
+        table = self.param(
+            "embedding", nn.initializers.normal(stddev=1.0),
+            (self.num_embeddings, self.features), jnp.float32)
+        sigma = self._spectral_scale(table, update=train)
+        return jnp.take((table / sigma).astype(self.dtype), idx, axis=0)
+
+
+class ConditionalBatchNorm(nn.Module):
+    """Class-conditional batch norm (/root/reference/models.py:469-506):
+    affine-free BN (momentum 0.001) + per-class (scale, bias) from an embedding
+    table initialized to (1, 0). Under a sharded batch, jit/GSPMD computes the
+    batch moments over the *global* batch (a free upgrade over the reference's
+    per-replica DataParallel stats)."""
+
+    features: int
+    num_classes: int
+    momentum: float = 0.001
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, class_onehot: jax.Array,
+                 train: bool = True) -> jax.Array:
+        c = self.features
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x.astype(jnp.float32) - mean) * inv
+
+        def init_embedding(_key):
+            return jnp.concatenate(
+                [jnp.ones((self.num_classes, c), jnp.float32),
+                 jnp.zeros((self.num_classes, c), jnp.float32)], axis=1)
+
+        emb = self.param("embedding", init_embedding)
+        idx = jnp.argmax(class_onehot, axis=-1)
+        scale = emb[idx, :c][:, None, None, :]
+        bias = emb[idx, c:][:, None, None, :]
+        return (scale * y + bias).astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """Plain torch-semantics BatchNorm2d (affine, momentum 0.1) for the
+    generator's final block (/root/reference/models.py:53)."""
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        c = self.features
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(self.dtype)
+
+
+class SelfAttention(nn.Module):
+    """SAGAN self-attention with 2x max-pooled keys/values and learned gamma
+    initialized to 1.0 (/root/reference/models.py:219-275; gamma quirk :247).
+
+    Plain-XLA path: two batched matmuls + softmax; `use_pallas=True` dispatches
+    the fused Pallas TPU kernel (ops/pallas/attention.py).
+    """
+
+    channels: int
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        b, h, w, c = x.shape
+        c_qk, c_v = c // 8, c // 2
+        conv = lambda feats, name: SNConv(  # noqa: E731
+            feats, kernel_size=(1, 1), padding=0, dtype=self.dtype, name=name)
+        pooled = max_pool_2d(x, 2)
+        q = conv(c_qk, "query_convolution")(x, train)
+        k = conv(c_qk, "key_convolution")(pooled, train)
+        v = conv(c_v, "value_convolution")(pooled, train)
+        q = q.reshape(b, h * w, c_qk)
+        k = k.reshape(b, (h * w) // 4, c_qk)
+        v = v.reshape(b, (h * w) // 4, c_v)
+        if self.use_pallas and not self.is_initializing():
+            from semantic_pyramid_for_image_generation_tpu.ops.pallas.attention import (
+                pooled_kv_attention,
+            )
+            attn_out = pooled_kv_attention(q, k, v)
+        else:
+            prec = matmul_precision(self.dtype)
+            logits = jnp.einsum(
+                "bqc,bkc->bqk", q, k,
+                preferred_element_type=jnp.float32, precision=prec)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            attn_out = jnp.einsum("bqk,bkc->bqc", attn, v, precision=prec)
+        attn_out = attn_out.reshape(b, h, w, c_v)
+        out = conv(c, "attention_convolution")(attn_out, train)
+        gamma = self.param("gamma", nn.initializers.ones, (1,), jnp.float32)
+        return gamma.astype(self.dtype) * out + x
+
+
+class GeneratorResidualBlock(nn.Module):
+    """Upsampling generator block (/root/reference/models.py:278-339):
+    main: CBN -> lrelu -> up2x -> SN3x3 -> CBN -> lrelu -> SN3x3;
+    residual: up2x -> SN1x1;  feature branch: SN3x3 on (masked feats ++ mask);
+    output = main + residual + mapped_features."""
+
+    in_channels: int
+    out_channels: int
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, masked_features: jax.Array,
+                 class_onehot: jax.Array, train: bool = True) -> jax.Array:
+        cbn = lambda c, name: ConditionalBatchNorm(  # noqa: E731
+            c, self.num_classes, dtype=self.dtype, name=name)
+        y = cbn(self.in_channels, "cbn_1")(x, class_onehot, train)
+        y = lrelu(y)
+        y = upsample_bilinear_align_corners(y, 2)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_1")(y, train)
+        y = cbn(self.out_channels, "cbn_2")(y, class_onehot, train)
+        y = lrelu(y)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2")(y, train)
+        res = upsample_bilinear_align_corners(x, 2)
+        res = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
+                     dtype=self.dtype, name="residual_conv")(res, train)
+        feat = SNConv(self.out_channels, dtype=self.dtype,
+                      name="masked_feature_mapping")(masked_features, train)
+        return y + res + feat
+
+
+class LinearBlock(nn.Module):
+    """Feature-injecting linear block for the fc8/fc7 pyramid levels
+    (/root/reference/models.py:342-375)."""
+
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, masked_features: jax.Array,
+                 train: bool = True) -> jax.Array:
+        y = SNDense(self.out_features, dtype=self.dtype, name="linear")(
+            lrelu(x), train)
+        feat = SNDense(self.out_features, dtype=self.dtype,
+                       name="masked_feature_mapping")(masked_features, train)
+        return y + feat
+
+
+class DiscriminatorInputResidualBlock(nn.Module):
+    """Input block (/root/reference/models.py:378-419): main SN3x3 -> lrelu ->
+    SN3x3 -> avgpool2; residual avgpool2 -> SN1x1 (pool *before* the 1x1)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_1")(x, train)
+        y = lrelu(y)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2")(y, train)
+        y = avg_pool_2d(y, 2)
+        res = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
+                     dtype=self.dtype, name="residual_conv")(avg_pool_2d(x, 2), train)
+        return y + res
+
+
+class DiscriminatorResidualBlock(nn.Module):
+    """Downsampling block (/root/reference/models.py:422-466): lrelu -> SN3x3
+    -> lrelu -> SN3x3 (+ SN1x1 residual), then avgpool2."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        y = lrelu(x)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_1")(y, train)
+        y = lrelu(y)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2")(y, train)
+        res = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
+                     dtype=self.dtype, name="residual_conv")(x, train)
+        return avg_pool_2d(y + res, 2)

@@ -1,0 +1,74 @@
+"""Pooling ops (NHWC) with torch semantics.
+
+Used by: VGG16 max pools (/root/reference/models.py:201-204), discriminator
+avg-pool downsampling (:406, :451) and global AdaptiveAvgPool2d (:126), the
+self-attention KV pooling (:245, :259-260), the semantic-reconstruction loss
+max pools (/root/reference/lossfunction.py:20-21, :44-59), and the VGG
+classifier's AdaptiveAvgPool2d((7,7)) (:206).
+
+Fixed-window pools lower to `lax.reduce_window` (XLA fuses these well on TPU);
+adaptive average pooling is a separable dense matmul onto the MXU like
+ops/resize.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
+    """nn.MaxPool2d(window, stride) on NHWC."""
+    stride = window if stride is None else stride
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID")
+
+
+def avg_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
+    """nn.AvgPool2d(window, stride) on NHWC."""
+    stride = window if stride is None else stride
+    summed = jax.lax.reduce_window(
+        x, jnp.array(0, x.dtype), jax.lax.add,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID")
+    return summed / jnp.array(window * window, x.dtype)
+
+
+def max_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
+    """nn.MaxPool1d(window) over the last axis of a (..., L) array."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf,
+        jax.lax.max,
+        (1,) * (x.ndim - 1) + (window,), (1,) * (x.ndim - 1) + (window,), "VALID")
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) averaging matrix with torch AdaptiveAvgPool bin edges:
+    bin i covers [floor(i*in/out), ceil((i+1)*in/out))."""
+    a = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -((-(i + 1) * in_size) // out_size)  # ceil
+        a[i, lo:hi] = 1.0 / (hi - lo)
+    return a
+
+
+def adaptive_avg_pool_2d(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """nn.AdaptiveAvgPool2d((out_h, out_w)) on NHWC."""
+    _, h, w, _ = x.shape
+    a_h = jnp.asarray(_adaptive_avg_matrix(h, out_h), x.dtype)
+    a_w = jnp.asarray(_adaptive_avg_matrix(w, out_w), x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=hi)
+    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=hi)
+    return x
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """nn.AdaptiveAvgPool2d((1,1)) + flatten on NHWC -> (B, C)."""
+    return jnp.mean(x, axis=(1, 2))

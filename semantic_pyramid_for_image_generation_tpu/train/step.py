@@ -1,0 +1,161 @@
+"""The fused G/D train step — one jitted XLA program per optimizer iteration.
+
+Replicates the reference loop body (/root/reference/model_wrapper.py:131-190)
+with exact state-advance semantics, but as a single compiled function:
+
+  1. frozen-VGG pyramid of the real images (shared by both phases);
+  2. D phase: generator forward (train mode, advances G spectral/BN state
+     like torch's no_grad forward does), D on real then fake (two spectral
+     advances), LSGAN loss, Adam update of D;
+  3. G phase: fresh noise, generator forward with gradients (third state
+     advance), *updated* D on fakes (third D spectral advance), LSGAN +
+     diversity + masked semantic-reconstruction losses, Adam update of G.
+
+Under a data mesh the batch arrives sharded on axis 0, parameters replicated;
+the loss means become global means via the psum XLA inserts, which is exactly
+the gradient all-reduce of data parallelism (SURVEY.md 2.11).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semantic_pyramid_for_image_generation_tpu.config import (
+    DEFAULT_W_DIV,
+    DEFAULT_W_REC,
+    PyramidGANConfig,
+)
+from semantic_pyramid_for_image_generation_tpu.train.losses import (
+    diversity_loss,
+    lsgan_discriminator_loss,
+    lsgan_generator_loss,
+    semantic_reconstruction_loss,
+)
+from semantic_pyramid_for_image_generation_tpu.train.state import TrainState
+
+Batch = Dict[str, Any]  # images (B,H,W,C), labels (B,num_classes), masks: 7-tuple
+
+
+def make_train_step(
+    generator,
+    discriminator,
+    vgg,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    w_rec: float = DEFAULT_W_REC,
+    w_div: float = DEFAULT_W_DIV,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted `(state, batch, rng) -> (state, metrics)` step."""
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        images = batch["images"]
+        labels = batch["labels"].astype(jnp.float32)
+        masks = list(batch["masks"])
+        latent_dim = generator.config.latent_dim
+        b = images.shape[0]
+        rng = jax.random.fold_in(rng, state.step)
+        rng_d, rng_g = jax.random.split(rng)
+
+        # ---- shared frozen-VGG pyramid of the real batch (model_wrapper 144-145)
+        features_real = vgg.apply({"params": state.vgg_params}, images)
+        features_real = [jax.lax.stop_gradient(f) for f in features_real]
+
+        # ---- discriminator phase -----------------------------------------
+        noise_d = jax.random.normal(rng_d, (b, latent_dim), jnp.float32)
+        fake_d, g_mut = generator.apply(
+            {"params": state.g_params, "spectral": state.g_spectral,
+             "batch_stats": state.g_batch_stats},
+            noise_d, features_real, masks, labels, train=True,
+            mutable=["spectral", "batch_stats"])
+        fake_d = jax.lax.stop_gradient(fake_d)
+        g_spectral, g_batch_stats = g_mut["spectral"], g_mut["batch_stats"]
+
+        def d_loss_fn(d_params):
+            pred_real, mut1 = discriminator.apply(
+                {"params": d_params, "spectral": state.d_spectral},
+                images, labels, train=True, mutable=["spectral"])
+            pred_fake, mut2 = discriminator.apply(
+                {"params": d_params, "spectral": mut1["spectral"]},
+                fake_d, labels, train=True, mutable=["spectral"])
+            loss_real, loss_fake = lsgan_discriminator_loss(pred_real, pred_fake)
+            return loss_real + loss_fake, (loss_real, loss_fake, mut2["spectral"])
+
+        (_, (loss_d_real, loss_d_fake, d_spectral)), d_grads = (
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
+        d_updates, d_opt_state = d_tx.update(
+            d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- generator phase (sees the UPDATED discriminator) -------------
+        noise_g = jax.random.normal(rng_g, (b, latent_dim), jnp.float32)
+
+        def g_loss_fn(g_params):
+            fake, g_mut2 = generator.apply(
+                {"params": g_params, "spectral": g_spectral,
+                 "batch_stats": g_batch_stats},
+                noise_g, features_real, masks, labels, train=True,
+                mutable=["spectral", "batch_stats"])
+            pred_fake, d_mut3 = discriminator.apply(
+                {"params": d_params, "spectral": d_spectral},
+                fake, labels, train=True, mutable=["spectral"])
+            loss_g = lsgan_generator_loss(pred_fake)
+            loss_div = w_div * diversity_loss(fake, noise_g)
+            features_fake = vgg.apply({"params": state.vgg_params}, fake)
+            loss_rec = w_rec * semantic_reconstruction_loss(
+                features_real, features_fake, masks)
+            total = loss_g + loss_div + loss_rec
+            aux = (loss_g, loss_div, loss_rec,
+                   g_mut2["spectral"], g_mut2["batch_stats"],
+                   d_mut3["spectral"])
+            return total, aux
+
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params)
+        (loss_g, loss_div, loss_rec,
+         g_spectral, g_batch_stats, d_spectral) = g_aux
+        g_updates, g_opt_state = g_tx.update(
+            g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params, g_spectral=g_spectral,
+            g_batch_stats=g_batch_stats, g_opt_state=g_opt_state,
+            d_params=d_params, d_spectral=d_spectral, d_opt_state=d_opt_state)
+        metrics = {
+            # metric names follow the reference logger (model_wrapper.py:197-202)
+            "loss_discriminator_real": loss_d_real,
+            "loss_discriminator_fake": loss_d_fake,
+            "loss_generator": loss_g,
+            "loss_generator_semantic_reconstruction": loss_rec,
+            "loss_generator_diversity": loss_div,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_generate_fn(generator, vgg):
+    """Jitted eval-mode sampler: (state, images, masks, labels, rng) -> fakes.
+    Mirrors the validation/inference generation path
+    (/root/reference/frechet_inception_distance.py:82-90)."""
+
+    @jax.jit
+    def generate(state: TrainState, images, masks, labels, rng):
+        features = vgg.apply({"params": state.vgg_params}, images)
+        noise = jax.random.normal(
+            rng, (images.shape[0], generator.config.latent_dim), jnp.float32)
+        return generator.apply(
+            {"params": state.g_params, "spectral": state.g_spectral,
+             "batch_stats": state.g_batch_stats},
+            noise, features, list(masks), labels.astype(jnp.float32),
+            train=False)
+
+    return generate

@@ -1,0 +1,180 @@
+"""torch `.pt` checkpoint interop.
+
+The reference trains/loads torch state dicts: the fine-tuned VGG-16
+(/root/reference/main.py:61), full GAN checkpoints with G/D + optimizer states
+(/root/reference/model_wrapper.py:215-223, main.py:68-73), and the whole-model
+pickle produced by caffe2pytorchvgg16.py. These functions convert torch state
+dicts into this framework's flax variable pytrees (params / spectral /
+batch_stats), so reference-trained weights run on TPU unchanged.
+
+Weight layout conversions:
+    conv   torch OIHW         -> flax HWIO   (transpose 2,3,1,0)
+    linear torch (out, in)    -> flax (in, out) (transpose)
+    spectral u/v, embeddings, BN stats: copied as-is (see models/layers.py for
+    the matching (out, in*kh*kw) power-iteration view).
+
+torch is only imported inside these functions; the TPU training path never
+needs it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _set(tree: Dict[str, Any], path: str, leaf: Mapping[str, np.ndarray]) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = dict(leaf)
+
+
+class _Converter:
+    def __init__(self, sd: Mapping[str, Any]):
+        self.sd = sd
+        self.params: Dict[str, Any] = {}
+        self.spectral: Dict[str, Any] = {}
+        self.batch_stats: Dict[str, Any] = {}
+
+    def sn_conv(self, dst: str, src: str) -> None:
+        w = _t(self.sd[f"{src}.weight_orig"])
+        _set(self.params, dst,
+             {"kernel": w.transpose(2, 3, 1, 0), "bias": _t(self.sd[f"{src}.bias"])})
+        _set(self.spectral, dst,
+             {"u": _t(self.sd[f"{src}.weight_u"]), "v": _t(self.sd[f"{src}.weight_v"])})
+
+    def sn_dense(self, dst: str, src: str) -> None:
+        w = _t(self.sd[f"{src}.weight_orig"])
+        _set(self.params, dst, {"kernel": w.T, "bias": _t(self.sd[f"{src}.bias"])})
+        _set(self.spectral, dst,
+             {"u": _t(self.sd[f"{src}.weight_u"]), "v": _t(self.sd[f"{src}.weight_v"])})
+
+    def sn_embedding(self, dst: str, src: str) -> None:
+        _set(self.params, dst, {"embedding": _t(self.sd[f"{src}.weight_orig"])})
+        _set(self.spectral, dst,
+             {"u": _t(self.sd[f"{src}.weight_u"]), "v": _t(self.sd[f"{src}.weight_v"])})
+
+    def cbn(self, dst: str, src: str) -> None:
+        _set(self.params, dst, {"embedding": _t(self.sd[f"{src}.embedding.weight"])})
+        _set(self.batch_stats, dst,
+             {"mean": _t(self.sd[f"{src}.batch_norm.running_mean"]),
+              "var": _t(self.sd[f"{src}.batch_norm.running_var"])})
+
+    def bn(self, dst: str, src: str) -> None:
+        _set(self.params, dst,
+             {"scale": _t(self.sd[f"{src}.weight"]), "bias": _t(self.sd[f"{src}.bias"])})
+        _set(self.batch_stats, dst,
+             {"mean": _t(self.sd[f"{src}.running_mean"]),
+              "var": _t(self.sd[f"{src}.running_var"])})
+
+    def attention(self, dst: str, src: str) -> None:
+        for name in ("query_convolution", "key_convolution", "value_convolution",
+                     "attention_convolution"):
+            self.sn_conv(f"{dst}/{name}", f"{src}.{name}")
+        _set_leaf(self.params, f"{dst}/gamma", _t(self.sd[f"{src}.gamma"]))
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "spectral": self.spectral,
+                "batch_stats": self.batch_stats}
+
+
+def _set_leaf(tree: Dict[str, Any], path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_generator_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference Generator state dict -> flax variables
+    (module map per /root/reference/models.py:28-61)."""
+    c = _Converter(sd)
+    c.sn_dense("linear_layer", "linear_layer")
+    for i in (1, 2):
+        c.sn_dense(f"linear_block_{i}/linear", f"linear_block_{i}.main_block.1")
+        c.sn_dense(f"linear_block_{i}/masked_feature_mapping",
+                   f"linear_block_{i}.masked_feature_mapping")
+    c.sn_conv("convolution_layer", "convolution_layer.1")
+    # main_path indices 0,1,2,4,5 are residual blocks; 3 is self-attention.
+    for block_idx, path_idx in enumerate((0, 1, 2, 4, 5)):
+        src = f"main_path.{path_idx}"
+        dst = f"block_{block_idx}"
+        c.cbn(f"{dst}/cbn_1", f"{src}.main_block.0")
+        c.sn_conv(f"{dst}/conv_1", f"{src}.main_block.3")
+        c.cbn(f"{dst}/cbn_2", f"{src}.main_block.4")
+        c.sn_conv(f"{dst}/conv_2", f"{src}.main_block.6")
+        c.sn_conv(f"{dst}/residual_conv", f"{src}.residual_mapping.1")
+        c.sn_conv(f"{dst}/masked_feature_mapping", f"{src}.masked_feature_mapping")
+    c.attention("self_attention", "main_path.3")
+    c.bn("final_bn", "final_block.1")
+    c.sn_conv("final_conv_1", "final_block.3")
+    c.sn_conv("final_conv_2", "final_block.5")
+    return c.variables()
+
+
+def convert_discriminator_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference Discriminator state dict -> flax variables
+    (module map per /root/reference/models.py:116-136)."""
+    c = _Converter(sd)
+    c.sn_conv("block_0/conv_1", "layers.0.main_block.0")
+    c.sn_conv("block_0/conv_2", "layers.0.main_block.2")
+    c.sn_conv("block_0/residual_conv", "layers.0.residual_mapping")
+    for block_idx, path_idx in enumerate((1, 2, 4, 5, 6, 7), start=1):
+        src = f"layers.{path_idx}"
+        dst = f"block_{block_idx}"
+        c.sn_conv(f"{dst}/conv_1", f"{src}.main_block.1")
+        c.sn_conv(f"{dst}/conv_2", f"{src}.main_block.3")
+        c.sn_conv(f"{dst}/residual_conv", f"{src}.residual_mapping")
+    c.attention("self_attention", "layers.3")
+    c.sn_dense("linear", "layers.11")
+    c.sn_dense("classification", "classification")
+    c.sn_embedding("embedding", "embedding")
+    return c.variables()
+
+
+def convert_vgg16_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Reference VGG16 (or raw torchvision vgg16) state dict -> flax variables.
+
+    Accepts both the reference wrapper's `vgg16.features.*` prefix
+    (/root/reference/models.py:174-181) and bare `features.*` keys.
+    """
+    params: Dict[str, Any] = {}
+    prefix = "vgg16." if any(k.startswith("vgg16.") for k in sd) else ""
+    conv_indices = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    for i in conv_indices:
+        w = _t(sd[f"{prefix}features.{i}.weight"])
+        _set(params, f"features_{i}",
+             {"kernel": w.transpose(2, 3, 1, 0),
+              "bias": _t(sd[f"{prefix}features.{i}.bias"])})
+    for i in (0, 3, 6):
+        w = _t(sd[f"{prefix}classifier.{i}.weight"])
+        _set(params, f"classifier_{i}",
+             {"kernel": w.T, "bias": _t(sd[f"{prefix}classifier.{i}.bias"])})
+    return {"params": params}
+
+
+def load_torch_file(path: str) -> Mapping[str, Any]:
+    """torch.load a `.pt` file; unwraps whole-module pickles
+    (caffe2pytorchvgg16.py:21) into state dicts."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return obj
+
+
+def load_reference_gan_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference `checkpoint_XXX.pt` (model_wrapper.py:215-223) and
+    return (generator_variables, discriminator_variables)."""
+    ckpt = load_torch_file(path)
+    return (convert_generator_state_dict(ckpt["generator"]),
+            convert_discriminator_state_dict(ckpt["discriminator"]))

@@ -1,0 +1,22 @@
+"""Test configuration.
+
+Forces JAX onto the host CPU with 8 virtual devices BEFORE jax is imported, so
+every test runs device-independent and the data-parallel mesh tests exercise
+real multi-device sharding without TPU hardware (SURVEY.md 4d).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,139 @@
+"""Parity tests for core ops against torch primitives (SURVEY.md 4b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from semantic_pyramid_for_image_generation_tpu.ops import (
+    adaptive_avg_pool_2d,
+    avg_pool_2d,
+    interpolate_nearest,
+    max_pool_1d,
+    max_pool_2d,
+    resize_bilinear_half_pixel,
+    spectral_norm_weight,
+    upsample_bilinear_align_corners,
+)
+from semantic_pyramid_for_image_generation_tpu.ops.resize import (
+    interpolate_nearest_np,
+    resize_bilinear_align_corners,
+)
+
+
+def _nhwc(rng, b=2, h=8, w=8, c=3):
+    return rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+
+def _to_torch(x):
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+def _from_torch(t):
+    return t.numpy().transpose(0, 2, 3, 1)
+
+
+class TestSpectralNorm:
+    def test_matches_torch_power_iteration(self, rng):
+        """One power iteration + sigma must match torch.nn.utils.spectral_norm."""
+        out_f, in_f = 12, 7
+        w = rng.standard_normal((out_f, in_f)).astype(np.float32)
+        lin = torch.nn.Linear(in_f, out_f, bias=False)
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(w))
+        lin = torch.nn.utils.spectral_norm(lin)
+        u0 = lin.weight_u.detach().numpy().copy()
+        v0 = lin.weight_v.detach().numpy().copy()
+        x = torch.from_numpy(rng.standard_normal((3, in_f)).astype(np.float32))
+        y_torch = lin(x)  # training-mode forward: updates u, v then normalizes
+
+        sigma, u1, v1 = spectral_norm_weight(
+            jnp.asarray(w), jnp.asarray(u0), jnp.asarray(v0), update=True)
+        np.testing.assert_allclose(u1, lin.weight_u.detach().numpy(), atol=1e-5)
+        np.testing.assert_allclose(v1, lin.weight_v.detach().numpy(), atol=1e-5)
+        y_ours = x.numpy() @ (w / np.asarray(sigma)).T
+        np.testing.assert_allclose(y_ours, y_torch.detach().numpy(), atol=1e-5)
+
+    def test_eval_mode_keeps_vectors(self, rng):
+        w = rng.standard_normal((5, 4)).astype(np.float32)
+        u = rng.standard_normal(5).astype(np.float32)
+        v = rng.standard_normal(4).astype(np.float32)
+        sigma, u1, v1 = spectral_norm_weight(
+            jnp.asarray(w), jnp.asarray(u), jnp.asarray(v), update=False)
+        np.testing.assert_array_equal(u1, u)
+        np.testing.assert_array_equal(v1, v)
+        np.testing.assert_allclose(sigma, u @ w @ v, rtol=1e-6)
+
+    def test_sigma_gradient_is_rank_one(self, rng):
+        """d(sigma)/dW must be u v^T (vectors treated as constants)."""
+        w = jnp.asarray(rng.standard_normal((6, 3)).astype(np.float32))
+        u = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal(3).astype(np.float32))
+        grad = jax.grad(lambda w_: spectral_norm_weight(w_, u, v, True)[0])(w)
+        _, u1, v1 = spectral_norm_weight(w, u, v, True)
+        np.testing.assert_allclose(grad, np.outer(u1, v1), atol=1e-6)
+
+
+class TestResize:
+    @pytest.mark.parametrize("size", [(4, 8), (8, 16), (5, 10)])
+    def test_upsample_align_corners_matches_torch(self, rng, size):
+        h, out = size
+        x = _nhwc(rng, h=h, w=h)
+        want = F.interpolate(_to_torch(x), scale_factor=out // h,
+                             mode="bilinear", align_corners=True)
+        got = upsample_bilinear_align_corners(jnp.asarray(x), out // h)
+        np.testing.assert_allclose(got, _from_torch(want), atol=1e-5)
+
+    def test_resize_align_corners_arbitrary(self, rng):
+        x = _nhwc(rng, h=7, w=5)
+        want = F.interpolate(_to_torch(x), size=(13, 9), mode="bilinear",
+                             align_corners=True)
+        got = resize_bilinear_align_corners(jnp.asarray(x), 13, 9)
+        np.testing.assert_allclose(got, _from_torch(want), atol=1e-5)
+
+    def test_half_pixel_matches_torch_align_corners_false(self, rng):
+        x = _nhwc(rng, h=16, w=16)
+        want = F.interpolate(_to_torch(x), size=(299, 299), mode="bilinear",
+                             align_corners=False)
+        got = resize_bilinear_half_pixel(jnp.asarray(x), 299, 299)
+        np.testing.assert_allclose(got, _from_torch(want), atol=1e-4)
+
+    @pytest.mark.parametrize("out", [(16, 16), (32, 8)])
+    def test_nearest_matches_torch(self, rng, out):
+        x = _nhwc(rng, h=8, w=8)
+        want = F.interpolate(_to_torch(x), size=out, mode="nearest")
+        got = interpolate_nearest(jnp.asarray(x), *out)
+        np.testing.assert_allclose(got, _from_torch(want), atol=1e-6)
+        # numpy host variant agrees
+        got_np = interpolate_nearest_np(x[0, :, :, 0], *out)
+        np.testing.assert_allclose(got_np, want.numpy()[0, 0], atol=1e-6)
+
+
+class TestPool:
+    def test_max_pool_2d(self, rng):
+        x = _nhwc(rng, h=8, w=8)
+        want = F.max_pool2d(_to_torch(x), 2)
+        np.testing.assert_allclose(
+            max_pool_2d(jnp.asarray(x), 2), _from_torch(want), atol=1e-6)
+
+    def test_avg_pool_2d(self, rng):
+        x = _nhwc(rng, h=8, w=8)
+        want = F.avg_pool2d(_to_torch(x), 2)
+        np.testing.assert_allclose(
+            avg_pool_2d(jnp.asarray(x), 2), _from_torch(want), atol=1e-6)
+
+    def test_max_pool_1d(self, rng):
+        x = rng.standard_normal((2, 1, 64)).astype(np.float32)
+        want = F.max_pool1d(torch.from_numpy(x), 2)
+        np.testing.assert_allclose(
+            max_pool_1d(jnp.asarray(x), 2), want.numpy(), atol=1e-6)
+
+    @pytest.mark.parametrize("in_out", [(8, 7), (8, 1), (7, 3), (2, 7)])
+    def test_adaptive_avg_pool(self, rng, in_out):
+        size, out = in_out
+        x = _nhwc(rng, h=size, w=size)
+        want = F.adaptive_avg_pool2d(_to_torch(x), (out, out))
+        got = adaptive_avg_pool_2d(jnp.asarray(x), out, out)
+        np.testing.assert_allclose(got, _from_torch(want), atol=1e-5)

@@ -1,0 +1,111 @@
+"""End-to-end fused train step: runs, updates all state, and overfits a batch
+(SURVEY.md 4e) — on a width-reduced config, single device and 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+from semantic_pyramid_for_image_generation_tpu.data.synthetic import synthetic_batch
+from semantic_pyramid_for_image_generation_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_state,
+)
+from semantic_pyramid_for_image_generation_tpu.train.state import (
+    init_train_state,
+    make_models,
+    make_optimizers,
+)
+from semantic_pyramid_for_image_generation_tpu.train.step import (
+    make_generate_fn,
+    make_train_step,
+)
+
+# NOTE: the generator's 7-level contract fixes image_size at 256
+# (latent reshape to 4x4 + 6 upsamplings, /root/reference/models.py:83-99);
+# tiny() shrinks channels/classes instead.
+CFG = PyramidGANConfig().tiny()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g_tx, d_tx = make_optimizers(lr=1e-4)
+    state = init_train_state(jax.random.key(0), CFG, g_tx, d_tx)
+    generator, discriminator, vgg = make_models(CFG)
+    step = make_train_step(generator, discriminator, vgg, g_tx, d_tx,
+                           donate=False)
+    return state, step, (generator, discriminator, vgg)
+
+
+def test_train_step_runs_and_updates_state(setup):
+    state, step, _ = setup
+    batch = synthetic_batch(CFG, batch=4)
+    batch = jax.tree.map(jnp.asarray, batch)
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert int(new_state.step) == 1
+    for name in ("loss_discriminator_real", "loss_discriminator_fake",
+                 "loss_generator", "loss_generator_semantic_reconstruction",
+                 "loss_generator_diversity"):
+        assert np.isfinite(float(metrics[name])), name
+    # every stateful piece moved
+    assert not np.allclose(
+        jax.tree.leaves(new_state.g_params)[0],
+        jax.tree.leaves(state.g_params)[0])
+    assert not np.allclose(
+        jax.tree.leaves(new_state.d_params)[0],
+        jax.tree.leaves(state.d_params)[0])
+    g_u_old = state.g_spectral["linear_layer"]["u"]
+    g_u_new = new_state.g_spectral["linear_layer"]["u"]
+    assert not np.allclose(g_u_new, g_u_old)
+    # VGG stays frozen
+    np.testing.assert_array_equal(
+        jax.tree.leaves(new_state.vgg_params)[0],
+        jax.tree.leaves(state.vgg_params)[0])
+
+
+def test_losses_improve_on_fixed_batch(setup):
+    state, step, _ = setup
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(CFG, batch=4))
+    first = last = None
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(2))
+        rec = float(metrics["loss_generator_semantic_reconstruction"])
+        if first is None:
+            first = rec
+        last = rec
+    # reconstruction loss should decrease while overfitting one batch
+    assert last < first
+
+
+def test_generate_fn_eval_mode(setup):
+    state, _, (generator, _, vgg) = setup
+    gen_fn = make_generate_fn(generator, vgg)
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(CFG, batch=2,
+                                                      validation=True))
+    fakes = gen_fn(state, batch["images"], batch["masks"], batch["labels"],
+                   jax.random.key(3))
+    assert fakes.shape == (2, CFG.image_size, CFG.image_size, 3)
+    assert np.all(np.abs(np.asarray(fakes)) <= 1.0)
+
+
+def test_data_parallel_mesh_matches_single_device(setup):
+    """The 8-device sharded step must agree numerically with single-device."""
+    state, step, _ = setup
+    assert jax.device_count() >= 8
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(CFG, batch=8))
+    single_state, single_metrics = step(state, batch, jax.random.key(4))
+
+    mesh = make_mesh()
+    sharded_state = shard_state(state, mesh)
+    sharded_batch = shard_batch(batch, mesh)
+    multi_state, multi_metrics = step(sharded_state, sharded_batch,
+                                      jax.random.key(4))
+    for k in single_metrics:
+        np.testing.assert_allclose(
+            float(multi_metrics[k]), float(single_metrics[k]),
+            rtol=2e-3, atol=2e-5, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(multi_state.g_params)[0]),
+        np.asarray(jax.tree.leaves(single_state.g_params)[0]), atol=1e-4)

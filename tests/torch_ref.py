@@ -1,0 +1,109 @@
+"""Import helper for the PyTorch reference at /root/reference.
+
+The reference depends on kornia / torchvision / skimage, which are not
+installed; the Generator/Discriminator/losses only *import* them, so we install
+minimal functional stubs before adding /root/reference to sys.path. This lets
+parity tests execute the genuine reference code (UNMODIFIED, read-only) against
+this framework's implementations.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+_REFERENCE_PATH = "/root/reference"
+
+
+def _install_stubs() -> None:
+    if "kornia" not in sys.modules:
+        kornia = types.ModuleType("kornia")
+
+        def normalize(x, mean, std):
+            return (x - mean[None, :, None, None]) / std[None, :, None, None]
+
+        def normalize_min_max(x, min_val=0.0, max_val=1.0):
+            flat = x.flatten(1)
+            mn = flat.min(dim=1)[0][:, None, None, None]
+            mx = flat.max(dim=1)[0][:, None, None, None]
+            return (max_val - min_val) * (x - mn) / (mx - mn) + min_val
+
+        kornia.normalize = normalize
+        kornia.normalize_min_max = normalize_min_max
+        sys.modules["kornia"] = kornia
+
+    if "torchvision" not in sys.modules:
+        torchvision = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+
+        class _TorchvisionVGG16(nn.Module):
+            """Architecture-equivalent skeleton of torchvision.models.vgg16
+            (only the attributes the reference VGG16 wrapper touches)."""
+
+            def __init__(self):
+                super().__init__()
+                plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                        512, 512, 512, "M", 512, 512, 512, "M"]
+                layers, in_ch = [], 3
+                for v in plan:
+                    if v == "M":
+                        layers.append(nn.MaxPool2d(2, 2))
+                    else:
+                        layers += [nn.Conv2d(in_ch, v, 3, padding=1),
+                                   nn.ReLU(inplace=True)]
+                        in_ch = v
+                self.features = nn.Sequential(*layers)
+                self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+                self.classifier = nn.Sequential(
+                    nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+                    nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+                    nn.Linear(4096, 1000))
+
+        def vgg16(pretrained=False):
+            assert not pretrained
+            return _TorchvisionVGG16()
+
+        tv_models.vgg16 = vgg16
+        torchvision.models = tv_models
+        sys.modules["torchvision"] = torchvision
+        sys.modules["torchvision.models"] = tv_models
+
+    if "skimage" not in sys.modules:
+        skimage = types.ModuleType("skimage")
+        draw = types.ModuleType("skimage.draw")
+
+        def random_shapes(shape, min_shapes=1, max_shapes=4, min_size=8,
+                          allow_overlap=True):
+            img = np.full(shape + (3,), 255, dtype=np.uint8)
+            n = np.random.randint(min_shapes, max_shapes + 1)
+            for _ in range(n):
+                h = np.random.randint(min_size, max(shape[0], min_size + 1))
+                w = np.random.randint(min_size, max(shape[1], min_size + 1))
+                r = np.random.randint(0, max(shape[0] - h, 0) + 1)
+                c = np.random.randint(0, max(shape[1] - w, 0) + 1)
+                img[r:r + h, c:c + w] = np.random.randint(0, 255)
+            return img, None
+
+        draw.random_shapes = random_shapes
+        skimage.draw = draw
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.draw"] = draw
+
+
+def import_reference(module_name: str):
+    _install_stubs()
+    if _REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, _REFERENCE_PATH)
+    return __import__(module_name)
+
+
+def to_nhwc(x: torch.Tensor) -> np.ndarray:
+    return x.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def to_nchw_torch(x: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
