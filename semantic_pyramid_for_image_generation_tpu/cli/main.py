@@ -1,0 +1,151 @@
+"""Flag-compatible CLI (/root/reference/main.py:4-42) with TPU extensions.
+
+Reference flags preserved: --train --test --batch_size --lr --channel_factor
+--device --load_checkpoint --load_pretrained_vgg16 --path_to_places365
+--epochs. GPU-specific flags (--gpus_to_use, --use_data_parallel) are accepted
+for compatibility but parallelism here is always the data mesh over all
+visible devices. TPU additions promote the reference's hidden defaults to
+flags (SURVEY.md 5 'Config'): --w_rec --w_div --validate_after_n_iterations
+--dtype --pallas --save_data_path --load_inception.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Semantic Pyramid for Image Generation — TPU-native")
+    # --- reference-compatible flags (main.py:4-42) ---
+    p.add_argument("--train", default=False, action="store_true",
+                   help="Train network")
+    p.add_argument("--test", default=False, action="store_true",
+                   help="Test network (FID + sample grid)")
+    p.add_argument("--batch_size", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-05)
+    p.add_argument("--channel_factor", type=float, default=1.0)
+    p.add_argument("--device", type=str, default="tpu",
+                   help="tpu | cpu (reference default was cuda)")
+    p.add_argument("--gpus_to_use", type=str, default="",
+                   help="accepted for reference compatibility; ignored on TPU")
+    p.add_argument("--use_data_parallel", default=False, action="store_true",
+                   help="accepted for compatibility; the data mesh always "
+                        "spans all visible devices")
+    p.add_argument("--load_checkpoint", type=str, default=None,
+                   help="orbax checkpoint dir or reference .pt checkpoint")
+    p.add_argument("--load_pretrained_vgg16", type=str,
+                   default="pre_trained_models/vgg_places_365_fine_tuned.pt")
+    p.add_argument("--path_to_places365", type=str, default="places365_standard")
+    p.add_argument("--epochs", type=int, default=50)
+    # --- TPU-native additions ---
+    p.add_argument("--w_rec", type=float, default=0.1)
+    p.add_argument("--w_div", type=float, default=0.1)
+    p.add_argument("--validate_after_n_iterations", type=int, default=100_000)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--pallas", default=True, action="store_true")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false")
+    p.add_argument("--save_data_path", type=str, default="saved_data")
+    p.add_argument("--load_inception", type=str, default=None,
+                   help="torchvision inception_v3 .pt state dict for FID")
+    p.add_argument("--fid_images", type=int, default=6000)
+    p.add_argument("--num_workers", type=int, default=16)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        import os
+
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.places365 import (
+        Places365,
+        Places365Loader,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
+    from semantic_pyramid_for_image_generation_tpu.train.state import param_count
+
+    config = PyramidGANConfig(
+        channels_factor=args.channel_factor, compute_dtype=args.dtype)
+
+    g_variables = d_variables = vgg_variables = inception_variables = None
+    import os
+
+    if args.load_pretrained_vgg16 and os.path.exists(args.load_pretrained_vgg16):
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            convert_vgg16_state_dict,
+            load_torch_file,
+        )
+
+        vgg_variables = convert_vgg16_state_dict(
+            load_torch_file(args.load_pretrained_vgg16))
+        print(f"Loaded pretrained VGG16 from {args.load_pretrained_vgg16}")
+    if args.load_checkpoint and args.load_checkpoint.endswith(".pt"):
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            load_reference_gan_checkpoint,
+        )
+
+        g_variables, d_variables = load_reference_gan_checkpoint(
+            args.load_checkpoint)
+        print(f"Imported reference checkpoint {args.load_checkpoint}")
+    if args.load_inception and os.path.exists(args.load_inception):
+        from semantic_pyramid_for_image_generation_tpu.models.inception import (
+            convert_inception_state_dict,
+        )
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            load_torch_file,
+        )
+
+        inception_variables = convert_inception_state_dict(
+            load_torch_file(args.load_inception))
+
+    train_loader = Places365Loader(
+        Places365(args.path_to_places365, "train.txt", config),
+        batch_size=args.batch_size, shuffle=True, drop_last=True,
+        num_workers=args.num_workers)
+    val_loader = Places365Loader(
+        Places365(args.path_to_places365, "val.txt", config,
+                  max_length=args.fid_images, validation=True),
+        batch_size=2 * args.batch_size, shuffle=True, drop_last=False,
+        num_workers=args.num_workers)
+
+    trainer = Trainer(
+        config, train_loader, val_loader,
+        lr=args.lr, w_rec=args.w_rec, w_div=args.w_div,
+        save_data_path=args.save_data_path,
+        use_pallas_attention=args.pallas and jax.default_backend() == "tpu",
+        g_variables=g_variables, d_variables=d_variables,
+        vgg_variables=vgg_variables,
+        inception_variables=inception_variables)
+
+    if args.load_checkpoint and not args.load_checkpoint.endswith(".pt"):
+        from semantic_pyramid_for_image_generation_tpu.train.checkpoint import (
+            restore_checkpoint,
+        )
+
+        trainer.state = restore_checkpoint(args.load_checkpoint, trainer.state)
+        print(f"Restored orbax checkpoint {args.load_checkpoint}")
+
+    print("Number of generator parameters",
+          param_count(trainer.state.g_params))
+    print("Number of discriminator parameters",
+          param_count(trainer.state.d_params))
+
+    if args.train:
+        trainer.train(epochs=args.epochs,
+                      validate_after_n_iterations=args.validate_after_n_iterations)
+    if args.test:
+        print("FID=", trainer.validate())
+        trainer.inference()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""Places365 input pipeline (/root/reference/data.py).
+
+Index parsing, host-side decode/normalize, per-sample mask draw, and batching
+into the train-step pytree — the role the reference fills with a torch
+DataLoader + custom collate (data.py:68-90).
+
+Semantics parity:
+  * index file lines are `<split>/<class>/<file>`; label = second path
+    component, class ids assigned in sorted-path first-seen order
+    (data.py:24-31). The reference's pd.read_csv header quirk silently drops
+    the first line (SURVEY.md 2.8.4); we read every line — documented fix.
+  * images decode to [0,1], grayscale broadcasts to RGB, then per-image
+    min-max normalization to [-1, 1] (data.py:46-56) — NHWC here.
+  * `max_length` draws a random subset; unlike the reference's unseeded choice
+    (SURVEY.md 2.8.7) the subset is seeded for reproducible FID.
+  * each sample carries a fresh mask draw (training or validation schedule).
+
+TPU-native throughput design (SURVEY.md hard part 8): a thread pool decodes
+and masks samples concurrently (PIL releases the GIL in the decoder) while a
+bounded prefetch queue double-buffers whole batches ahead of the device.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+from semantic_pyramid_for_image_generation_tpu.data.masks import MaskSchedule
+
+
+class Places365:
+    """Index + per-sample loader."""
+
+    def __init__(
+        self,
+        path_to_index_file: str,
+        index_file_name: str = "train.txt",
+        config: PyramidGANConfig = PyramidGANConfig(),
+        max_length: Optional[int] = None,
+        validation: bool = False,
+        seed: int = 0,
+        drop_first_index_line: bool = False,
+    ) -> None:
+        self.root = path_to_index_file
+        self.config = config
+        self.validation = validation
+        self.schedule = MaskSchedule(config)
+        with open(os.path.join(path_to_index_file, index_file_name)) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if drop_first_index_line:  # bug-compat with pd.read_csv header loss
+            lines = lines[1:]
+        self.file_paths: List[str] = sorted(lines)
+        self.label_dict: Dict[str, int] = {}
+        for file_path in self.file_paths:
+            folder = file_path.split("/")[1]
+            if folder not in self.label_dict:
+                self.label_dict[folder] = len(self.label_dict)
+        if max_length is not None and max_length < len(self.file_paths):
+            rng = np.random.default_rng(seed)
+            self.file_paths = list(
+                rng.choice(self.file_paths, max_length, replace=False))
+
+    def __len__(self) -> int:
+        return len(self.file_paths)
+
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        size = self.config.image_size
+        with Image.open(os.path.join(self.root, path)) as img:
+            if img.size != (size, size):
+                img = img.resize((size, size), Image.BILINEAR)
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
+        if arr.shape[-1] == 4:
+            arr = arr[:, :, :3]
+        # per-image min-max to [-1, 1] (data.py:53)
+        mn, mx = arr.min(), arr.max()
+        return 2.0 * (arr - mn) / max(mx - mn, 1e-12) - 1.0
+
+    def sample(self, index: int, rng: np.random.Generator):
+        path = self.file_paths[index]
+        image = self._load_image(path)
+        label = np.zeros(self.config.num_classes, dtype=np.float32)
+        label[self.label_dict[path.split("/")[1]] % self.config.num_classes] = 1.0
+        if self.validation:
+            masks = self.schedule.validation_masks(rng)
+        else:
+            masks = self.schedule.training_masks(rng)
+        return image, label, masks
+
+
+class Places365Loader:
+    """Shuffled, threaded, prefetching batch iterator.
+
+    Emits the train-step batch pytree:
+        {"images": (B,H,W,3) f32, "labels": (B,N) f32, "masks": 7-tuple}.
+    `drop_last=True` matches the training loader (/root/reference/main.py:82).
+    """
+
+    def __init__(
+        self,
+        dataset: Places365,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _collate(self, samples) -> Dict[str, Any]:
+        images = np.stack([s[0] for s in samples])
+        labels = np.stack([s[1] for s in samples])
+        masks = self.dataset.schedule.batch([s[2] for s in samples])
+        return {"images": images, "labels": labels, "masks": tuple(masks)}
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = np.arange(len(self.dataset))
+        epoch_rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        if self.shuffle:
+            epoch_rng.shuffle(order)
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    rngs = [np.random.default_rng((self.seed, self.epoch, int(i)))
+                            for i in idx]
+                    samples = list(pool.map(
+                        self.dataset.sample, [int(i) for i in idx], rngs))
+                    out_q.put(self._collate(samples))
+            out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -82,8 +82,12 @@ class VGG16(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Dense(4096 // f, dtype=dtype, precision=matmul_precision(dtype), name="classifier_3")(x)
-        features.append(x)  # fc7 tap: classifier index 3 output, pre-ReLU
         x = nn.relu(x)
+        # fc7 tap: the reference appends classifier[3]'s output, but the next
+        # torchvision ReLU is inplace=True and mutates the tapped tensor —
+        # the pyramid's fc7 level is effectively ReLU(fc7) (verified against
+        # the live reference; models.py:210-213).
+        features.append(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.Dense(cfg.num_classes, dtype=dtype, precision=matmul_precision(dtype), name="classifier_6")(x)
         features.append(x)  # fc8 logits

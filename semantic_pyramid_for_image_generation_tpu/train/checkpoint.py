@@ -1,0 +1,48 @@
+"""Checkpoint / resume.
+
+Two interoperable formats (SURVEY.md 5 'Checkpoint / resume'):
+  * orbax: the full TrainState pytree (params, optimizer slots, spectral u/v,
+    BN stats, step) — async-capable, sharding-aware; the native format.
+  * torch `.pt`: reference checkpoints (`checkpoint_XXX.pt` with G/D state
+    dicts, model_wrapper.py:215-223) import via utils.pt_interop; optimizer
+    moments restart (torch Adam slots are keyed by parameter ids, conversion
+    is intentionally out of scope — documented).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from semantic_pyramid_for_image_generation_tpu.train.state import TrainState
+
+
+def save_checkpoint(directory: str, state: TrainState,
+                    step: Optional[int] = None) -> str:
+    """Save under `<directory>/checkpoint_<step>` (zero-padded like the
+    reference's checkpoint_XXX.pt naming)."""
+    step = int(state.step) if step is None else step
+    path = os.path.abspath(os.path.join(directory, f"checkpoint_{step:03d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(lambda x: x, state))
+    return path
+
+
+def restore_checkpoint(path: str, state_like: TrainState) -> TrainState:
+    """Restore into the structure/shardings of `state_like`."""
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    entries = [e for e in os.listdir(directory) if e.startswith("checkpoint_")]
+    if not entries:
+        return None
+    entries.sort(key=lambda e: int(e.split("_")[-1]))
+    return os.path.join(directory, entries[-1])

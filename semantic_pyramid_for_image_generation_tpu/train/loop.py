@@ -1,0 +1,219 @@
+"""Training orchestration — the reference ModelWrapper
+(/root/reference/model_wrapper.py) rebuilt around one jitted fused step.
+
+Differences by design (all TPU-motivated, not behavioral):
+  * the whole loop body (model_wrapper.py:131-190) is ONE compiled XLA program
+    (train/step.py) — no per-layer Python dispatch, no replica scatter/gather;
+  * batches stream through a threaded prefetching host pipeline and are
+    device_put with data-mesh sharding while the previous step runs;
+  * checkpoints are orbax pytrees (with `.pt` import for reference weights).
+
+Behavioral parity: metric names, validation cadence semantics, per-epoch
+checkpoints, the initial validate+inference pass, and the 7x7 mask-sweep grid.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_pyramid_for_image_generation_tpu.config import (
+    DEFAULT_W_DIV,
+    DEFAULT_W_REC,
+    PyramidGANConfig,
+)
+from semantic_pyramid_for_image_generation_tpu.data.masks import MaskSchedule
+from semantic_pyramid_for_image_generation_tpu.eval.fid import FIDEvaluator
+from semantic_pyramid_for_image_generation_tpu.eval.grid import (
+    save_inference_grid,
+)
+from semantic_pyramid_for_image_generation_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_state,
+)
+from semantic_pyramid_for_image_generation_tpu.train.checkpoint import (
+    save_checkpoint,
+)
+from semantic_pyramid_for_image_generation_tpu.train.state import (
+    TrainState,
+    init_train_state,
+    make_models,
+    make_optimizers,
+    param_count,
+)
+from semantic_pyramid_for_image_generation_tpu.train.step import (
+    make_generate_fn,
+    make_train_step,
+)
+from semantic_pyramid_for_image_generation_tpu.utils.logger import (
+    Logger,
+    make_run_dirs,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: PyramidGANConfig,
+        training_dataset: Iterable[Dict[str, Any]],
+        validation_dataset: Optional[Iterable[Dict[str, Any]]] = None,
+        lr: float = 1e-5,
+        w_rec: float = DEFAULT_W_REC,
+        w_div: float = DEFAULT_W_DIV,
+        save_data_path: str = "saved_data",
+        use_pallas_attention: bool = False,
+        use_mesh: bool = True,
+        seed: int = 0,
+        state: Optional[TrainState] = None,
+        inception_variables=None,
+        g_variables=None,
+        d_variables=None,
+        vgg_variables=None,
+    ) -> None:
+        self.config = config
+        self.training_dataset = training_dataset
+        self.validation_dataset = validation_dataset
+        self.w_rec, self.w_div = w_rec, w_div
+        self.g_tx, self.d_tx = make_optimizers(lr)
+        self.generator, self.discriminator, self.vgg = make_models(
+            config, use_pallas_attention)
+        if state is None:
+            state = init_train_state(
+                jax.random.key(seed), config, self.g_tx, self.d_tx,
+                use_pallas_attention=use_pallas_attention,
+                vgg_variables=vgg_variables, g_variables=g_variables,
+                d_variables=d_variables)
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            state = shard_state(state, self.mesh)
+        self.state = state
+        self.step_fn = make_train_step(
+            self.generator, self.discriminator, self.vgg,
+            self.g_tx, self.d_tx, w_rec=w_rec, w_div=w_div)
+        self.generate_fn = make_generate_fn(self.generator, self.vgg)
+        self.fid_evaluator = FIDEvaluator(inception_variables)
+        self.rng = jax.random.key(seed + 1)
+        self.logger = Logger()
+        self.paths = make_run_dirs(save_data_path)
+        self.samples_seen = 0
+        self.logger.hyperparameter.update({
+            "generator_params": str(param_count(self.state.g_params)),
+            "discriminator_params": str(param_count(self.state.d_params)),
+            "config": str(config),
+            "lr": str(lr), "w_rec": str(w_rec), "w_div": str(w_div),
+        })
+
+    # ------------------------------------------------------------------
+    def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        batch = jax.tree.map(jnp.asarray, batch)
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def train(
+        self,
+        epochs: int = 50,
+        validate_after_n_iterations: int = 100_000,
+        save_model_after_n_epochs: int = 1,
+        validate_at_start: bool = True,
+        progress: bool = True,
+    ) -> None:
+        if validate_at_start and self.validation_dataset is not None:
+            self.inference()
+            fid = self.validate()
+        else:
+            fid = float("nan")
+        bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                bar = tqdm(total=None, dynamic_ncols=True)
+            except ImportError:
+                bar = None
+        next_validation = validate_after_n_iterations
+        for epoch in range(epochs):
+            for batch in self.training_dataset:
+                batch_size = batch["images"].shape[0]
+                self.state, metrics = self.step_fn(
+                    self.state, self._put(batch), self.rng)
+                self.samples_seen += batch_size
+                host = {k: float(v) for k, v in metrics.items()}
+                for name, value in host.items():
+                    self.logger.log(name, value)
+                self.logger.log("iterations", self.samples_seen)
+                self.logger.log("epoch", epoch)
+                if bar is not None:
+                    bar.update(batch_size)
+                    bar.set_description(
+                        "FID={:.4f}, Loss Div={:.4f}, Loss Rec={:.4f}, "
+                        "Loss G={:.4f}, Loss D={:.4f}".format(
+                            fid, host["loss_generator_diversity"],
+                            host["loss_generator_semantic_reconstruction"],
+                            host["loss_generator"],
+                            host["loss_discriminator_real"]
+                            + host["loss_discriminator_fake"]))
+                if (self.validation_dataset is not None
+                        and self.samples_seen >= next_validation):
+                    next_validation += validate_after_n_iterations
+                    fid = self.validate()
+                    self.inference()
+                    self.logger.log("fid", fid)
+                    self.logger.log("iterations_fid", self.samples_seen)
+                    self.logger.save_metrics(self.paths["metrics"])
+            if epoch % save_model_after_n_epochs == 0:
+                save_checkpoint(self.paths["models"], self.state, step=epoch)
+            self.inference()
+            self.logger.save_metrics(self.paths["metrics"])
+        if bar is not None:
+            bar.close()
+
+    # ------------------------------------------------------------------
+    def validate(self) -> float:
+        """FID over the validation set (model_wrapper.py:230-245)."""
+        assert self.validation_dataset is not None
+
+        def generate(batch):
+            self.rng, rng = jax.random.split(self.rng)
+            put = self._put(batch)
+            return self.generate_fn(self.state, put["images"], put["masks"],
+                                    put["labels"], rng)
+
+        return self.fid_evaluator.fid(
+            (self._put(b) for b in self.validation_dataset), generate)
+
+    def inference(self, num_images: int = 7) -> Optional[str]:
+        """7x7 mask-level sweep grid (model_wrapper.py:247-296): rows are
+        validation images, columns pin conditioning at each pyramid level."""
+        if self.validation_dataset is None:
+            return None
+        batch = next(iter(self.validation_dataset))
+        images = batch["images"][:num_images]
+        labels = batch["labels"][:num_images]
+        if images.shape[0] < num_images:
+            reps = -(-num_images // images.shape[0])
+            images = np.tile(images, (reps, 1, 1, 1))[:num_images]
+            labels = np.tile(labels, (reps, 1))[:num_images]
+        schedule = MaskSchedule(self.config)
+        columns = []
+        for level in range(7):
+            masks = tuple(
+                np.broadcast_to(m[None], (num_images,) + m.shape).copy()
+                for m in schedule.inference_masks(level))
+            self.rng, rng = jax.random.split(self.rng)
+            fakes = self.generate_fn(
+                self.state, jnp.asarray(images), jax.tree.map(jnp.asarray, masks),
+                jnp.asarray(labels), rng)
+            columns.append(np.asarray(fakes))
+        # row-major grid: row = image, column = level
+        stack = np.stack(columns, axis=1).reshape(
+            (num_images * 7,) + columns[0].shape[1:])
+        path = os.path.join(self.paths["plots"],
+                            f"predictions_{self.samples_seen}.png")
+        save_inference_grid(stack, path)
+        return path

@@ -25,7 +25,9 @@ import numpy as np
 
 
 def _t(x) -> np.ndarray:
-    return np.asarray(x.detach().cpu().numpy(), dtype=np.float32)
+    # copy=True: torch mutates spectral u/v buffers IN PLACE on forward;
+    # a numpy view would silently track the live module.
+    return np.array(x.detach().cpu().numpy(), dtype=np.float32, copy=True)
 
 
 def _set(tree: Dict[str, Any], path: str, leaf: Mapping[str, np.ndarray]) -> None:

@@ -1,20 +1,44 @@
 """Test configuration.
 
-Forces JAX onto the host CPU with 8 virtual devices BEFORE jax is imported, so
-every test runs device-independent and the data-parallel mesh tests exercise
-real multi-device sharding without TPU hardware (SURVEY.md 4d).
+Forces JAX onto the host CPU with 8 virtual devices so every test runs
+device-independent and the data-parallel mesh tests exercise real multi-device
+sharding without TPU hardware (SURVEY.md 4d).
+
+NOTE: this image's sitecustomize imports jax at interpreter startup (axon TPU
+plugin), so the JAX_PLATFORMS env var is latched before conftest runs —
+we must switch platforms via jax.config instead. XLA_FLAGS is still read
+lazily at first backend initialization, so the virtual device count works.
+Thread pools are pinned to 1 (single-core CI host; oversubscribed spin-waits
+dominate otherwise).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+        _flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+    ).strip()
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    try:
+        import torch
+
+        torch.set_num_threads(1)
+    except ImportError:
+        pass
+    assert jax.device_count() >= 8, jax.devices()
 
 
 @pytest.fixture

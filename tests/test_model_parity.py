@@ -152,7 +152,7 @@ class TestDiscriminatorParity:
         ours = Discriminator(cfg)
         variables = convert_discriminator_state_dict(ref.state_dict())
         rng = np.random.default_rng(2)
-        images = rng.standard_normal((3, 3, 64, 64)).astype(np.float32)
+        images = rng.standard_normal((3, 3, 128, 128)).astype(np.float32)
         labels = np.eye(365, dtype=np.float32)[rng.integers(0, 365, size=3)]
         return ref, ours, variables, images, labels
 
@@ -166,7 +166,9 @@ class TestDiscriminatorParity:
         # the reference's broadcast quirk: output is (B, B, 128)
         assert want.shape == (3, 3, 128)
         assert got.shape == (3, 3, 128)
-        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4)
+        # random-init eval-mode sigmas make activations blow up over 7 blocks
+        # (values ~1e22); relative agreement is what matters here
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4)
 
     def test_train_forward_parity(self, setup):
         ref, ours, variables, images, labels = setup
@@ -215,9 +217,11 @@ class TestVGG16Parity:
 
     def test_grayscale_and_return_output(self):
         torch.manual_seed(3)
+        # the reference constructor always swaps in a 365-way head
+        # (/root/reference/models.py:176-177)
         ref = ref_models.VGG16(return_output=True)
         ref.eval()
-        cfg = PyramidGANConfig(image_size=64, num_classes=1000)
+        cfg = PyramidGANConfig(image_size=64)
         ours = VGG16(cfg, return_output=True)
         variables = convert_vgg16_state_dict(ref.state_dict())
         rng = np.random.default_rng(4)
