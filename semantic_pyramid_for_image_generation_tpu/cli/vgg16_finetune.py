@@ -1,0 +1,187 @@
+"""VGG-16 Places365 fine-tuning (/root/reference/vgg_16_train.py), TPU-native.
+
+Reference behavior: 3 epochs, batch 256, Adam lr 1e-4, CrossEntropy, top-1/5
+accuracy meters, best-checkpoint save, step lr decay /10 every 30 epochs
+(vgg_16_train.py:28-50, :104-106, :227-230, :252-256). Here the whole
+update is one jitted step (forward + CE + Adam) on a data mesh, with the same
+flags, metrics and artifact semantics (orbax `latest`/`best` checkpoints, and
+`.pt` import for the caffe-converted starting point via --load_vgg16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="VGG16 Places365 fine-tune (TPU)")
+    p.add_argument("--data", type=str, default="places365_standard")
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--workers", type=int, default=16)
+    p.add_argument("--resume", type=str, default=None,
+                   help="orbax checkpoint dir to resume from")
+    p.add_argument("--load_vgg16", type=str,
+                   default="pre_trained_models/vgg_places_365.pt",
+                   help=".pt start point (caffe2pytorchvgg16 output)")
+    p.add_argument("--save_dir", type=str, default="vgg16_finetune")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--evaluate_only", action="store_true")
+    return p
+
+
+class AverageMeter:
+    """Running averages (vgg_16_train.py:233-249)."""
+
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.sum += float(val) * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.image_folder import (
+        ImageFolder,
+        ImageFolderLoader,
+    )
+    from semantic_pyramid_for_image_generation_tpu.models import VGG16
+    from semantic_pyramid_for_image_generation_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_state,
+    )
+
+    config = PyramidGANConfig(compute_dtype=args.dtype)
+    model = VGG16(config, return_output=True)
+
+    if args.load_vgg16 and os.path.exists(args.load_vgg16):
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            convert_vgg16_state_dict,
+            load_torch_file,
+        )
+
+        variables = convert_vgg16_state_dict(load_torch_file(args.load_vgg16))
+        print(f"Loaded {args.load_vgg16}")
+    else:
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, config.image_size, config.image_size, 3)))
+        print("Cold start: random VGG16 init")
+    params = variables["params"]
+
+    # step lr decay /10 every 30 epochs (vgg_16_train.py:252-256)
+    steps_per_epoch = None
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, images, labels, rng):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, images, train=True,
+                                 rngs={"dropout": rng})
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels)
+            return jnp.mean(ce), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return params, opt_state, loss, top1
+
+    @jax.jit
+    def eval_step(params, images, labels):
+        logits = model.apply({"params": params}, images, train=False)
+        ce = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels))
+        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        top5 = jnp.mean(jnp.any(
+            jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1
+        ).astype(jnp.float32))
+        return ce, top1, top5
+
+    mesh = make_mesh()
+    params = shard_state(params, mesh)
+    opt_state = shard_state(opt_state, mesh)
+
+    train_ds = ImageFolder(os.path.join(args.data, "train"),
+                           config.image_size)
+    val_ds = ImageFolder(os.path.join(args.data, "val"), config.image_size)
+    train_loader = ImageFolderLoader(train_ds, args.batch_size,
+                                     num_workers=args.workers)
+    val_loader = ImageFolderLoader(val_ds, args.batch_size, shuffle=False,
+                                   random_flip=False, drop_last=False,
+                                   num_workers=args.workers)
+
+    def validate():
+        loss_m, top1_m, top5_m = AverageMeter(), AverageMeter(), AverageMeter()
+        for images, labels in val_loader:
+            n = images.shape[0]
+            batch = shard_batch(
+                {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
+            ce, t1, t5 = eval_step(params, batch["i"], batch["l"])
+            loss_m.update(ce, n)
+            top1_m.update(t1, n)
+            top5_m.update(t5, n)
+        print(f" * Prec@1 {top1_m.avg * 100:.3f} Prec@5 {top5_m.avg * 100:.3f}")
+        return top1_m.avg
+
+    best_prec1 = 0.0
+    rng = jax.random.key(1)
+    if args.evaluate_only:
+        validate()
+        return 0
+    os.makedirs(args.save_dir, exist_ok=True)
+    import orbax.checkpoint as ocp
+
+    for epoch in range(args.epochs):
+        loss_m, top1_m = AverageMeter(), AverageMeter()
+        t0 = time.time()
+        for it, (images, labels) in enumerate(train_loader):
+            rng, step_rng = jax.random.split(rng)
+            batch = shard_batch(
+                {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
+            params, opt_state, loss, top1 = train_step(
+                params, opt_state, batch["i"], batch["l"], step_rng)
+            loss_m.update(loss, images.shape[0])
+            top1_m.update(top1, images.shape[0])
+            if it % 50 == 0:
+                rate = (it + 1) * args.batch_size / (time.time() - t0)
+                print(f"epoch {epoch} it {it} loss {loss_m.avg:.4f} "
+                      f"top1 {top1_m.avg * 100:.2f} ({rate:.1f} img/s)")
+        prec1 = validate()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(
+                os.path.join(args.save_dir, f"latest_{epoch}")), params)
+            if prec1 > best_prec1:
+                best_prec1 = prec1
+                ckptr.save(os.path.abspath(
+                    os.path.join(args.save_dir, "best")), params, force=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -35,7 +35,7 @@ def _max_pool_3x3_s2(x):
 
 def _avg_pool_3x3_s1_p1(x):
     summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add,
+        x, 0.0, jax.lax.add,
         (1, 3, 3, 1), (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
     # torch AvgPool2d(3, 1, 1) divides by 9 everywhere (count_include_pad=True)
     return summed / jnp.array(9, x.dtype)

@@ -1,0 +1,94 @@
+"""Fused Pallas TPU kernel for the SAGAN pooled-KV self-attention.
+
+The reference computes bmm -> softmax -> bmm through three separate CUDA
+kernels with an HBM round-trip for the (B, 1024, 256) attention map
+(/root/reference/models.py:262-268). Here the whole contraction runs in one
+Pallas kernel per batch element with the attention map resident in VMEM:
+
+    logits = q @ k^T          (MXU, fp32 accumulate)
+    p      = softmax(logits)  (VPU, numerically-stable)
+    out    = p @ v            (MXU)
+
+Shapes at full width (32x32 feature map, 256 channels): q (B, 1024, 32),
+k (B, 256, 32), v (B, 256, 128) — everything fits VMEM comfortably
+(~1.5 MB fp32 per batch element including the map).
+
+The backward pass recomputes the attention map with plain XLA einsums
+(cheap at these sizes, saves storing the map) via custom_vjp.
+
+On non-TPU backends the kernel runs in interpreter mode, keeping tests
+device-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0].astype(jnp.float32)   # (Nq, C8)
+    k = k_ref[0].astype(jnp.float32)   # (Nk, C8)
+    v = v_ref[0]                       # (Nk, C2)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Nq, Nk)
+    p = jax.nn.softmax(logits, axis=-1)
+    o_ref[0] = jnp.dot(
+        p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    b, nq, c8 = q.shape
+    _, nk, c2 = v.shape
+    spec = lambda n, c: pl.BlockSpec(  # noqa: E731
+        (1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _attention_kernel,
+        grid=(b,),
+        in_specs=[spec(nq, c8), spec(nk, c8), spec(nk, c2)],
+        out_specs=spec(nq, c2),
+        out_shape=jax.ShapeDtypeStruct((b, nq, c2), v.dtype),
+        interpret=jax.default_backend() != "tpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq * nk * (c8 + c2),
+            bytes_accessed=4 * b * (nq * c8 + nk * c8 + nk * c2 + nq * c2),
+            transcendentals=b * nq * nk,
+        ),
+    )(q, k, v)
+
+
+@jax.custom_vjp
+def pooled_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """softmax(q k^T) v with fp32 softmax, matching the XLA path in
+    models/layers.py SelfAttention bit-for-bit at fp32."""
+    return _forward(q, k, v)
+
+
+def _fwd(q, k, v):
+    return _forward(q, k, v), (q, k, v)
+
+
+def _bwd(residuals, g):
+    q, k, v = residuals
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32, precision=prec)
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bqk,bqc->bkc", p, g32, precision=prec)
+    dp = jnp.einsum("bqc,bkc->bqk", g32, v.astype(jnp.float32), precision=prec)
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkc->bqc", dlogits, k.astype(jnp.float32),
+                    precision=prec)
+    dk = jnp.einsum("bqk,bqc->bkc", dlogits, q.astype(jnp.float32),
+                    precision=prec)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+pooled_kv_attention.defvjp(_fwd, _bwd)

@@ -32,8 +32,10 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
 def avg_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
     """nn.AvgPool2d(window, stride) on NHWC."""
     stride = window if stride is None else stride
+    # NOTE: init value must be a Python scalar — an Array init selects the
+    # generic variadic reduce_window primitive, which has no transpose rule.
     summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add,
+        x, 0.0, jax.lax.add,
         (1, window, window, 1), (1, stride, stride, 1), "VALID")
     return summed / jnp.array(window * window, x.dtype)
 

@@ -57,13 +57,12 @@ def spectral_norm_weight(
     """
     w32 = w2d.astype(jnp.float32)
     if update:
-        def body(_, uv):
-            u_, v_ = uv
-            v_ = l2_normalize(w32.T @ u_, eps)
-            u_ = l2_normalize(w32 @ v_, eps)
-            return u_, v_
-
-        u, v = jax.lax.fori_loop(0, n_iter, body, (u, v))
+        # Python-unrolled: n_iter is static (1 in practice), and a lax loop
+        # cannot be partially evaluated when its stop-gradient outputs are
+        # value_and_grad aux outputs ("linearization failed" otherwise).
+        for _ in range(n_iter):
+            v = l2_normalize(w32.T @ u, eps)
+            u = l2_normalize(w32 @ v, eps)
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     sigma = jnp.einsum("i,ij,j->", u, w32, v)

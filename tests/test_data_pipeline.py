@@ -1,0 +1,85 @@
+"""Places365 index parsing, decode/normalize, threaded loader (SURVEY.md 2.4)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+from semantic_pyramid_for_image_generation_tpu.data.places365 import (
+    Places365,
+    Places365Loader,
+)
+
+CFG = PyramidGANConfig(image_size=32).tiny()
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("places")
+    rng = np.random.default_rng(0)
+    lines = []
+    for cls in ("abbey", "airfield", "zoo"):
+        d = root / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            if cls == "zoo" and i == 0:  # exercise grayscale branch
+                Image.fromarray(arr[:, :, 0], mode="L").save(d / f"{i}.png")
+            else:
+                Image.fromarray(arr).save(d / f"{i}.png")
+            lines.append(f"train/{cls}/{i}.png")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_index_and_labels(dataset_root):
+    ds = Places365(dataset_root, "train.txt", CFG)
+    assert len(ds) == 12
+    # sorted-path first-seen ordering (data.py:24-31)
+    assert ds.label_dict == {"abbey": 0, "airfield": 1, "zoo": 2}
+
+
+def test_sample_contract(dataset_root):
+    ds = Places365(dataset_root, "train.txt", CFG)
+    rng = np.random.default_rng(0)
+    image, label, masks = ds.sample(0, rng)
+    assert image.shape == (32, 32, 3)
+    np.testing.assert_allclose(image.min(), -1.0, atol=1e-6)
+    np.testing.assert_allclose(image.max(), 1.0, atol=1e-6)
+    assert label.sum() == 1.0
+    assert len(masks) == 7
+
+
+def test_grayscale_broadcasts(dataset_root):
+    ds = Places365(dataset_root, "train.txt", CFG)
+    idx = ds.file_paths.index("train/zoo/0.png")
+    image, _, _ = ds.sample(idx, np.random.default_rng(0))
+    assert image.shape == (32, 32, 3)
+    np.testing.assert_array_equal(image[..., 0], image[..., 1])
+
+
+def test_loader_batches_and_epoch(dataset_root):
+    ds = Places365(dataset_root, "train.txt", CFG)
+    loader = Places365Loader(ds, batch_size=4, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    for b in batches:
+        assert b["images"].shape == (4, 32, 32, 3)
+        assert b["labels"].shape == (4, CFG.num_classes)
+        assert len(b["masks"]) == 7
+        assert b["masks"][0].shape == (4,) + CFG.mask_shapes[0]
+    # second epoch reshuffles but still covers everything
+    batches2 = list(loader)
+    assert len(batches2) == 3
+
+
+def test_max_length_subset_seeded(dataset_root):
+    a = Places365(dataset_root, "train.txt", CFG, max_length=5, seed=7)
+    b = Places365(dataset_root, "train.txt", CFG, max_length=5, seed=7)
+    assert a.file_paths == b.file_paths
+    assert len(a) == 5
+
+
+def test_drop_first_index_line_compat(dataset_root):
+    ds = Places365(dataset_root, "train.txt", CFG, drop_first_index_line=True)
+    assert len(ds) == 11

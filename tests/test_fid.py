@@ -1,0 +1,62 @@
+"""FID math and evaluator plumbing (SURVEY.md 2.5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from semantic_pyramid_for_image_generation_tpu.eval.fid import (
+    FIDEvaluator,
+    fid_from_activations,
+    fid_from_statistics,
+    normalize_m1_1,
+)
+
+
+def test_fid_formula_matches_reference_math(rng):
+    """|mu_r-mu_f|^2 + tr(Sr) + tr(Sf) - 2 tr(sqrtm(Sr Sf)) with imaginary
+    stripping (/root/reference/frechet_inception_distance.py:103-123)."""
+    real = rng.standard_normal((200, 16)).astype(np.float64)
+    fake = 0.5 * rng.standard_normal((180, 16)) + 0.3
+    mu_r, cov_r = real.mean(0), np.cov(real, rowvar=False)
+    mu_f, cov_f = fake.mean(0), np.cov(fake, rowvar=False)
+    diff = mu_r - mu_f
+    cov_mean, _ = scipy.linalg.sqrtm(cov_r @ cov_f, disp=False)
+    if np.iscomplexobj(cov_mean):
+        cov_mean = cov_mean.real
+    want = diff @ diff + np.trace(cov_r) + np.trace(cov_f) \
+        - 2 * np.trace(cov_mean)
+    got = fid_from_statistics(mu_r, cov_r, mu_f, cov_f)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fid_identical_distributions_near_zero(rng):
+    acts = rng.standard_normal((500, 8)).astype(np.float64)
+    fid = fid_from_activations(acts, acts.copy())
+    assert abs(fid) < 1e-6
+
+
+def test_fid_separates_distributions(rng):
+    a = rng.standard_normal((400, 8))
+    b = rng.standard_normal((400, 8)) + 2.0
+    assert fid_from_activations(a, b) > fid_from_activations(a, a)
+
+
+def test_normalize_m1_1_matches_reference(rng):
+    x = rng.standard_normal((3, 8, 8, 3)).astype(np.float32) * 5 + 2
+    y = np.asarray(normalize_m1_1(jnp.asarray(x)))
+    assert y.min() >= -1.0 - 1e-6 and y.max() <= 1.0 + 1e-6
+    for i in range(3):
+        np.testing.assert_allclose(y[i].min(), -1.0, atol=1e-6)
+        np.testing.assert_allclose(y[i].max(), 1.0, atol=1e-6)
+
+
+def test_evaluator_end_to_end_random_inception(rng):
+    """Random-weight inception still yields a well-defined pipeline: FID of a
+    distribution against itself ~ 0, and resize path (64 -> 299) works."""
+    ev = FIDEvaluator()
+    images = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    acts = ev.activations(jnp.asarray(images))
+    assert acts.shape == (8, 2048)
+    batches = [{"images": jnp.asarray(images)}]
+    fid = ev.fid(batches, lambda b: b["images"])
+    assert abs(fid) < 1e-2
