@@ -23,8 +23,8 @@ V100_BASELINE_IMG_PER_SEC = 600_000 / (24 * 3600)  # ~6.94
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
@@ -58,14 +58,20 @@ def main():
         synthetic_batch(cfg, args.batch_size, np.random.default_rng(0)))
     rng = jax.random.key(1)
 
+    def sync(metrics):
+        # device_get of a scalar is the only reliable sync on the axon relay;
+        # block_until_ready has been observed to return before execution
+        # finishes there and under-report wall time
+        return float(jax.device_get(metrics["loss_generator"]))
+
     for _ in range(args.warmup):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    sync(metrics)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+        sync(metrics)
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

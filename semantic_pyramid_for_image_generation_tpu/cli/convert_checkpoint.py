@@ -1,0 +1,80 @@
+"""Checkpoint conversion tool — the caffe2pytorchvgg16.py analogue
+(/root/reference/caffe2pytorchvgg16.py) plus round-trip GAN conversion.
+
+Modes:
+  pt-to-orbax   reference checkpoint_XXX.pt (G/D) -> orbax TrainState dir
+  orbax-to-pt   orbax TrainState dir -> reference-format checkpoint .pt
+  vgg-pt        VGG .pt (state dict OR whole-model pickle) -> orbax params
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["pt-to-orbax", "orbax-to-pt", "vgg-pt"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--channel_factor", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state,
+        make_optimizers,
+    )
+
+    config = PyramidGANConfig(channels_factor=args.channel_factor)
+
+    if args.mode == "pt-to-orbax":
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            load_reference_gan_checkpoint,
+        )
+
+        g_vars, d_vars = load_reference_gan_checkpoint(args.src)
+        g_tx, d_tx = make_optimizers()
+        state = init_train_state(jax.random.key(0), config, g_tx, d_tx,
+                                 g_variables=g_vars, d_variables=d_vars)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(args.dst), state)
+        print(f"wrote orbax checkpoint {args.dst}")
+    elif args.mode == "orbax-to-pt":
+        from semantic_pyramid_for_image_generation_tpu.train.checkpoint import (
+            restore_checkpoint,
+        )
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            save_reference_gan_checkpoint,
+        )
+
+        g_tx, d_tx = make_optimizers()
+        template = init_train_state(jax.random.key(0), config, g_tx, d_tx)
+        state = restore_checkpoint(args.src, template)
+        save_reference_gan_checkpoint(
+            args.dst,
+            {"params": state.g_params, "spectral": state.g_spectral,
+             "batch_stats": state.g_batch_stats},
+            {"params": state.d_params, "spectral": state.d_spectral,
+             "batch_stats": {}})
+        print(f"wrote reference-format checkpoint {args.dst}")
+    else:  # vgg-pt
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            convert_vgg16_state_dict,
+            load_torch_file,
+        )
+
+        variables = convert_vgg16_state_dict(load_torch_file(args.src))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(args.dst), variables)
+        print(f"wrote orbax VGG params {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,17 +52,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="torchvision inception_v3 .pt state dict for FID")
     p.add_argument("--fid_images", type=int, default=6000)
     p.add_argument("--num_workers", type=int, default=16)
+    p.add_argument("--vgg_width_factor", type=int, default=1,
+                   help="debug: divide VGG widths (CPU-scale smoke runs)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.device == "cpu":
-        import os
-
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     import jax
+
+    if args.device == "cpu":
+        # env vars are too late here (this image's sitecustomize imports jax
+        # at interpreter startup); switch via config instead
+        jax.config.update("jax_platforms", "cpu")
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
     from semantic_pyramid_for_image_generation_tpu.data.places365 import (
@@ -72,8 +75,16 @@ def main(argv=None) -> int:
     from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
     from semantic_pyramid_for_image_generation_tpu.train.state import param_count
 
+    n_dev = jax.device_count()
+    if args.batch_size % n_dev != 0:
+        rounded = max(n_dev, (args.batch_size // n_dev) * n_dev)
+        print(f"batch_size {args.batch_size} -> {rounded} "
+              f"(multiple of the {n_dev}-device data mesh)")
+        args.batch_size = rounded
+
     config = PyramidGANConfig(
-        channels_factor=args.channel_factor, compute_dtype=args.dtype)
+        channels_factor=args.channel_factor, compute_dtype=args.dtype,
+        vgg_width_factor=args.vgg_width_factor)
 
     g_variables = d_variables = vgg_variables = inception_variables = None
     import os

@@ -101,8 +101,11 @@ class FIDEvaluator:
         activations of `generate_fn(batch)` fakes (mirrors fid.py:65-98)."""
         real_acts, fake_acts = [], []
         for batch in real_batches:
-            real_acts.append(self.activations(batch["images"]))
-            fake_acts.append(self.activations(generate_fn(batch)))
+            # batches may be padded up to the data-mesh multiple; "num_valid"
+            # bounds the genuine samples (remainder-batch support)
+            n = int(batch.get("num_valid", batch["images"].shape[0]))
+            real_acts.append(self.activations(batch["images"])[:n])
+            fake_acts.append(self.activations(generate_fn(batch))[:n])
         return fid_from_activations(
             np.concatenate(real_acts, axis=0),
             np.concatenate(fake_acts, axis=0))

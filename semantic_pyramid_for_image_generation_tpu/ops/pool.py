@@ -21,8 +21,18 @@ import numpy as np
 
 
 def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
-    """nn.MaxPool2d(window, stride) on NHWC."""
+    """nn.MaxPool2d(window, stride) on NHWC.
+
+    The ubiquitous 2x2/stride-2 case lowers to reshape + pairwise `maximum`
+    instead of reduce_window: its gradient is a select (TPU-native) rather
+    than select-and-scatter, which TPU cannot lower when a windowed dim lands
+    minor-most."""
     stride = window if stride is None else stride
+    b, h, w, c = x.shape
+    if window == 2 and stride == 2 and h % 2 == 0 and w % 2 == 0:
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = jnp.maximum(x[:, :, 0], x[:, :, 1])      # (b, h/2, w/2, 2, c)
+        return jnp.maximum(x[:, :, :, 0], x[:, :, :, 1])
     return jax.lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max,
@@ -41,7 +51,17 @@ def avg_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
 
 
 def max_pool_1d(x: jax.Array, window: int = 2) -> jax.Array:
-    """nn.MaxPool1d(window) over the last axis of a (..., L) array."""
+    """nn.MaxPool1d(window) over the last axis of a (..., L) array.
+
+    Pairwise-maximum form (window 2): reduce_window's gradient would need a
+    select-and-scatter with the window on the minor-most dim — unimplemented
+    on TPU."""
+    length = x.shape[-1]
+    if window == 2:
+        # torch MaxPool1d 'VALID': odd trailing element is dropped
+        even = 2 * (length // 2)
+        x = x[..., :even].reshape(x.shape[:-1] + (even // 2, 2))
+        return jnp.maximum(x[..., 0], x[..., 1])
     return jax.lax.reduce_window(
         x, -jnp.inf,
         jax.lax.max,

@@ -109,10 +109,35 @@ class Trainer:
         })
 
     # ------------------------------------------------------------------
+    def _pad_to_mesh(self, batch: Dict[str, Any]):
+        """Pad a remainder batch up to the data-mesh multiple (validation
+        loaders keep drop_last=False like the reference); returns the padded
+        batch with `num_valid` marking the genuine rows."""
+        n = int(batch["images"].shape[0])
+        multiple = 1 if self.mesh is None else self.mesh.devices.size
+        pad = (-n) % multiple
+        if pad:
+            batch = jax.tree.map(
+                lambda x: np.concatenate(
+                    [np.asarray(x), np.repeat(np.asarray(x[:1]), pad, 0)], 0),
+                batch)
+        batch = dict(batch)
+        batch["num_valid"] = n
+        return batch
+
     def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        num_valid = batch.pop("num_valid", None) if isinstance(batch, dict) else None
         batch = jax.tree.map(jnp.asarray, batch)
         if self.mesh is not None:
+            n = batch["images"].shape[0]
+            if n % self.mesh.devices.size != 0:
+                raise ValueError(
+                    f"batch size {n} not divisible by the {self.mesh.devices.size}"
+                    "-device data mesh; round the batch size or use "
+                    "_pad_to_mesh for eval batches")
             batch = shard_batch(batch, self.mesh)
+        if num_valid is not None:
+            batch["num_valid"] = num_valid
         return batch
 
     def train(
@@ -180,12 +205,12 @@ class Trainer:
 
         def generate(batch):
             self.rng, rng = jax.random.split(self.rng)
-            put = self._put(batch)
-            return self.generate_fn(self.state, put["images"], put["masks"],
-                                    put["labels"], rng)
+            return self.generate_fn(self.state, batch["images"], batch["masks"],
+                                    batch["labels"], rng)
 
         return self.fid_evaluator.fid(
-            (self._put(b) for b in self.validation_dataset), generate)
+            (self._put(self._pad_to_mesh(b)) for b in self.validation_dataset),
+            generate)
 
     def inference(self, num_images: int = 7) -> Optional[str]:
         """7x7 mask-level sweep grid (model_wrapper.py:247-296): rows are

@@ -180,3 +180,129 @@ def load_reference_gan_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, 
     ckpt = load_torch_file(path)
     return (convert_generator_state_dict(ckpt["generator"]),
             convert_discriminator_state_dict(ckpt["discriminator"]))
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax variables -> torch state dicts, so TPU-trained
+# checkpoints drop back into the reference implementation unchanged.
+# ---------------------------------------------------------------------------
+
+def _flat(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flat(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+class _Exporter:
+    def __init__(self, variables):
+        import torch
+
+        self.torch = torch
+        self.params = _flat(variables.get("params", {}))
+        self.spectral = _flat(variables.get("spectral", {}))
+        self.stats = _flat(variables.get("batch_stats", {}))
+        self.sd = {}
+
+    def _t(self, arr):
+        return self.torch.from_numpy(np.ascontiguousarray(arr).copy())
+
+    def sn_conv(self, src, dst):
+        k = self.params[f"{src}/kernel"]
+        self.sd[f"{dst}.weight_orig"] = self._t(k.transpose(3, 2, 0, 1))
+        self.sd[f"{dst}.bias"] = self._t(self.params[f"{src}/bias"])
+        self.sd[f"{dst}.weight_u"] = self._t(self.spectral[f"{src}/u"])
+        self.sd[f"{dst}.weight_v"] = self._t(self.spectral[f"{src}/v"])
+
+    def sn_dense(self, src, dst):
+        self.sd[f"{dst}.weight_orig"] = self._t(self.params[f"{src}/kernel"].T)
+        self.sd[f"{dst}.bias"] = self._t(self.params[f"{src}/bias"])
+        self.sd[f"{dst}.weight_u"] = self._t(self.spectral[f"{src}/u"])
+        self.sd[f"{dst}.weight_v"] = self._t(self.spectral[f"{src}/v"])
+
+    def sn_embedding(self, src, dst):
+        self.sd[f"{dst}.weight_orig"] = self._t(self.params[f"{src}/embedding"])
+        self.sd[f"{dst}.weight_u"] = self._t(self.spectral[f"{src}/u"])
+        self.sd[f"{dst}.weight_v"] = self._t(self.spectral[f"{src}/v"])
+
+    def cbn(self, src, dst):
+        self.sd[f"{dst}.embedding.weight"] = self._t(
+            self.params[f"{src}/embedding"])
+        self.sd[f"{dst}.batch_norm.running_mean"] = self._t(
+            self.stats[f"{src}/mean"])
+        self.sd[f"{dst}.batch_norm.running_var"] = self._t(
+            self.stats[f"{src}/var"])
+        self.sd[f"{dst}.batch_norm.num_batches_tracked"] = self.torch.tensor(0)
+
+    def bn(self, src, dst):
+        self.sd[f"{dst}.weight"] = self._t(self.params[f"{src}/scale"])
+        self.sd[f"{dst}.bias"] = self._t(self.params[f"{src}/bias"])
+        self.sd[f"{dst}.running_mean"] = self._t(self.stats[f"{src}/mean"])
+        self.sd[f"{dst}.running_var"] = self._t(self.stats[f"{src}/var"])
+        self.sd[f"{dst}.num_batches_tracked"] = self.torch.tensor(0)
+
+    def attention(self, src, dst):
+        for name in ("query_convolution", "key_convolution",
+                     "value_convolution", "attention_convolution"):
+            self.sn_conv(f"{src}/{name}", f"{dst}.{name}")
+        self.sd[f"{dst}.gamma"] = self._t(self.params[f"{src}/gamma"])
+
+
+def export_generator_state_dict(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """flax Generator variables -> reference Generator state dict
+    (inverse of convert_generator_state_dict)."""
+    e = _Exporter(variables)
+    e.sn_dense("linear_layer", "linear_layer")
+    for i in (1, 2):
+        e.sn_dense(f"linear_block_{i}/linear", f"linear_block_{i}.main_block.1")
+        e.sn_dense(f"linear_block_{i}/masked_feature_mapping",
+                   f"linear_block_{i}.masked_feature_mapping")
+    e.sn_conv("convolution_layer", "convolution_layer.1")
+    for block_idx, path_idx in enumerate((0, 1, 2, 4, 5)):
+        src, dst = f"block_{block_idx}", f"main_path.{path_idx}"
+        e.cbn(f"{src}/cbn_1", f"{dst}.main_block.0")
+        e.sn_conv(f"{src}/conv_1", f"{dst}.main_block.3")
+        e.cbn(f"{src}/cbn_2", f"{dst}.main_block.4")
+        e.sn_conv(f"{src}/conv_2", f"{dst}.main_block.6")
+        e.sn_conv(f"{src}/residual_conv", f"{dst}.residual_mapping.1")
+        e.sn_conv(f"{src}/masked_feature_mapping",
+                  f"{dst}.masked_feature_mapping")
+    e.attention("self_attention", "main_path.3")
+    e.bn("final_bn", "final_block.1")
+    e.sn_conv("final_conv_1", "final_block.3")
+    e.sn_conv("final_conv_2", "final_block.5")
+    return e.sd
+
+
+def export_discriminator_state_dict(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    e = _Exporter(variables)
+    e.sn_conv("block_0/conv_1", "layers.0.main_block.0")
+    e.sn_conv("block_0/conv_2", "layers.0.main_block.2")
+    e.sn_conv("block_0/residual_conv", "layers.0.residual_mapping")
+    for block_idx, path_idx in enumerate((1, 2, 4, 5, 6, 7), start=1):
+        src, dst = f"block_{block_idx}", f"layers.{path_idx}"
+        e.sn_conv(f"{src}/conv_1", f"{dst}.main_block.1")
+        e.sn_conv(f"{src}/conv_2", f"{dst}.main_block.3")
+        e.sn_conv(f"{src}/residual_conv", f"{dst}.residual_mapping")
+    e.attention("self_attention", "layers.3")
+    e.sn_dense("linear", "layers.11")
+    e.sn_dense("classification", "classification")
+    e.sn_embedding("embedding", "embedding")
+    return e.sd
+
+
+def save_reference_gan_checkpoint(path: str, generator_variables,
+                                  discriminator_variables) -> None:
+    """Write a reference-format checkpoint_XXX.pt
+    (model_wrapper.py:215-223 layout; optimizer slots empty)."""
+    import torch
+
+    torch.save(
+        {"generator": export_generator_state_dict(generator_variables),
+         "discriminator": export_discriminator_state_dict(
+             discriminator_variables),
+         "generator_optimizer": {}, "discriminator_optimizer": {}}, path)
