@@ -23,7 +23,7 @@ V100_BASELINE_IMG_PER_SEC = 600_000 / (24 * 3600)  # ~6.94
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", type=str, default="bfloat16",

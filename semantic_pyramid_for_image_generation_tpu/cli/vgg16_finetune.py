@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--evaluate_only", action="store_true")
+    p.add_argument("--device", type=str, default="tpu", help="tpu | cpu")
+    p.add_argument("--vgg_width_factor", type=int, default=1,
+                   help="debug: divide VGG widths (CPU-scale smoke runs)")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--num_classes", type=int, default=365)
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="debug: cap train steps per epoch")
     return p
 
 
@@ -57,6 +64,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 
@@ -72,7 +83,9 @@ def main(argv=None) -> int:
         shard_state,
     )
 
-    config = PyramidGANConfig(compute_dtype=args.dtype)
+    config = PyramidGANConfig(
+        compute_dtype=args.dtype, vgg_width_factor=args.vgg_width_factor,
+        image_size=args.image_size, num_classes=args.num_classes)
     model = VGG16(config, return_output=True)
 
     if args.load_vgg16 and os.path.exists(args.load_vgg16):
@@ -112,16 +125,21 @@ def main(argv=None) -> int:
 
     @jax.jit
     def eval_step(params, images, labels):
+        # per-sample so padded remainder rows can be trimmed host-side
         logits = model.apply({"params": params}, images, train=False)
-        ce = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), labels))
-        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        top5 = jnp.mean(jnp.any(
-            jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1
-        ).astype(jnp.float32))
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels)
+        top1 = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        k = min(5, logits.shape[-1])
+        top5 = jnp.any(jax.lax.top_k(logits, k)[1] == labels[:, None],
+                       axis=-1).astype(jnp.float32)
         return ce, top1, top5
 
     mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev != 0:
+        args.batch_size = max(n_dev, (args.batch_size // n_dev) * n_dev)
+        print(f"batch_size rounded to {args.batch_size} for the {n_dev}-device mesh")
     params = shard_state(params, mesh)
     opt_state = shard_state(opt_state, mesh)
 
@@ -138,12 +156,16 @@ def main(argv=None) -> int:
         loss_m, top1_m, top5_m = AverageMeter(), AverageMeter(), AverageMeter()
         for images, labels in val_loader:
             n = images.shape[0]
+            pad = (-n) % n_dev
+            if pad:  # remainder batch: pad to the mesh multiple, trim below
+                images = np.concatenate([images, np.repeat(images[:1], pad, 0)])
+                labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
             batch = shard_batch(
                 {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
-            ce, t1, t5 = eval_step(params, batch["i"], batch["l"])
-            loss_m.update(ce, n)
-            top1_m.update(t1, n)
-            top5_m.update(t5, n)
+            ce, t1, t5 = jax.device_get(eval_step(params, batch["i"], batch["l"]))
+            loss_m.update(float(ce[:n].mean()), n)
+            top1_m.update(float(t1[:n].mean()), n)
+            top5_m.update(float(t5[:n].mean()), n)
         print(f" * Prec@1 {top1_m.avg * 100:.3f} Prec@5 {top5_m.avg * 100:.3f}")
         return top1_m.avg
 
@@ -159,6 +181,8 @@ def main(argv=None) -> int:
         loss_m, top1_m = AverageMeter(), AverageMeter()
         t0 = time.time()
         for it, (images, labels) in enumerate(train_loader):
+            if args.max_steps is not None and it >= args.max_steps:
+                break
             rng, step_rng = jax.random.split(rng)
             batch = shard_batch(
                 {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)

@@ -17,9 +17,16 @@ def main(argv=None) -> int:
     parser.add_argument("--load_vgg16", type=str,
                         default="pre_trained_models/vgg_places_365_fine_tuned.pt")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--vgg_width_factor", type=int, default=1)
+    parser.add_argument("--image_size", type=int, default=256)
     args = parser.parse_args(argv)
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
@@ -29,7 +36,8 @@ def main(argv=None) -> int:
     )
     from semantic_pyramid_for_image_generation_tpu.models import VGG16
 
-    config = PyramidGANConfig()
+    config = PyramidGANConfig(vgg_width_factor=args.vgg_width_factor,
+                              image_size=args.image_size)
     model = VGG16(config, return_output=True)
     if os.path.exists(args.load_vgg16):
         from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
@@ -40,7 +48,7 @@ def main(argv=None) -> int:
         variables = convert_vgg16_state_dict(load_torch_file(args.load_vgg16))
     else:
         print(f"{args.load_vgg16} not found; using random init")
-        variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, config.image_size, config.image_size, 3)))
 
     ds = ImageFolder(os.path.join(args.data, "train"), config.image_size)
     loader = ImageFolderLoader(ds, args.batch_size, num_workers=4)

@@ -85,9 +85,9 @@ def adaptive_avg_pool_2d(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     _, h, w, _ = x.shape
     a_h = jnp.asarray(_adaptive_avg_matrix(h, out_h), x.dtype)
     a_w = jnp.asarray(_adaptive_avg_matrix(w, out_w), x.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=hi)
-    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=hi)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=prec)
+    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=prec)
     return x
 
 

@@ -54,14 +54,17 @@ def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
 def _apply_separable(x: jax.Array, a_h: np.ndarray, a_w: np.ndarray) -> jax.Array:
     """Apply per-axis (out, in) matrices to NHWC input via einsum/matmul.
 
-    Interpolation must be numerically exact regardless of the session's default
-    matmul precision, so pin HIGHEST (fp32 accumulate on MXU)."""
+    fp32 inputs pin HIGHEST precision (torch-parity mode must be exact
+    regardless of the session default); bf16 inputs use the native bf16 MXU
+    pass — interpolation weights are short dyadic-ish fractions and the
+    surrounding network is bf16 anyway."""
     dtype = x.dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     a_h = jnp.asarray(a_h, dtype)
     a_w = jnp.asarray(a_w, dtype)
     # (B, Hin, Win, C) -> (B, Hout, Win, C) -> (B, Hout, Wout, C)
-    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,bhwc->bowc", a_h, x, precision=prec)
+    x = jnp.einsum("ow,bhwc->bhoc", a_w, x, precision=prec)
     return x
 
 

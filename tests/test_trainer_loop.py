@@ -35,13 +35,13 @@ def test_trainer_one_epoch(tmp_path):
 
     trainer = Trainer(
         CFG,
-        training_dataset=_SyntheticLoader(2, 4),
+        training_dataset=_SyntheticLoader(2, 8),
         validation_dataset=_SyntheticLoader(1, 4, validation=True),
         lr=1e-4,
         save_data_path=str(tmp_path),
         use_mesh=True,
     )
-    trainer.train(epochs=1, validate_after_n_iterations=4,
+    trainer.train(epochs=1, validate_after_n_iterations=8,
                   validate_at_start=False, progress=False)
 
     # metric artifacts with reference-compatible names (misc.py:144-159)
