@@ -30,6 +30,8 @@ def main():
                         choices=["float32", "bfloat16"])
     parser.add_argument("--pallas", action="store_true", default=True)
     parser.add_argument("--no-pallas", dest="pallas", action="store_false")
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="rematerialize the VGG-fake forward (bigger batches)")
     args = parser.parse_args()
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
@@ -51,7 +53,8 @@ def main():
     state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
                              use_pallas_attention=use_pallas)
     generator, discriminator, vgg = make_models(cfg, use_pallas)
-    step = make_train_step(generator, discriminator, vgg, g_tx, d_tx)
+    step = make_train_step(generator, discriminator, vgg, g_tx, d_tx,
+                           remat_vgg=args.remat)
 
     batch = jax.tree.map(
         jnp.asarray,

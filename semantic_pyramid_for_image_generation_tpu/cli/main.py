@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--vgg_width_factor", type=int, default=1,
                    help="debug: divide VGG widths (CPU-scale smoke runs)")
+    p.add_argument("--auto_resume", type=str, default=None,
+                   help="models dir to auto-restore the newest checkpoint from")
     return p
 
 
@@ -136,6 +138,8 @@ def main(argv=None) -> int:
         vgg_variables=vgg_variables,
         inception_variables=inception_variables)
 
+    if args.auto_resume:
+        trainer.auto_resume(args.auto_resume)
     if args.load_checkpoint and not args.load_checkpoint.endswith(".pt"):
         from semantic_pyramid_for_image_generation_tpu.train.checkpoint import (
             restore_checkpoint,

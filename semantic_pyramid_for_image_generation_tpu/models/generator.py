@@ -11,7 +11,7 @@ Parameter count parity with the reference: 29,967,047 (verified by test).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

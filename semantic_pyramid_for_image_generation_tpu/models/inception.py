@@ -15,17 +15,14 @@ BasicConv2d = conv(bias-free) + BatchNorm(eps=1e-3, eval) + relu.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Sequence, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from semantic_pyramid_for_image_generation_tpu.ops.pool import (
-    avg_pool_2d,
-    global_avg_pool,
-)
+from semantic_pyramid_for_image_generation_tpu.ops.pool import global_avg_pool
 
 
 def _max_pool_3x3_s2(x):

@@ -40,8 +40,19 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
 
 
 def avg_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
-    """nn.AvgPool2d(window, stride) on NHWC."""
+    """nn.AvgPool2d(window, stride) on NHWC.
+
+    The 2x2/stride-2 case (every discriminator downsample) lowers to
+    reshape + scaled adds: its transpose is a broadcast instead of the
+    pad+reduce_window XLA emits for reduce_window-sum, which materialized
+    badly-laid-out 2GB temps in the D backward at batch 192."""
     stride = window if stride is None else stride
+    b, h, w, c = x.shape
+    if window == 2 and stride == 2 and h % 2 == 0 and w % 2 == 0:
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x[:, :, 0] + x[:, :, 1]
+        x = x[:, :, :, 0] + x[:, :, :, 1]
+        return x * jnp.array(0.25, x.dtype)
     # NOTE: init value must be a Python scalar — an Array init selects the
     # generic variadic reduce_window primitive, which has no transpose rule.
     summed = jax.lax.reduce_window(

@@ -12,7 +12,7 @@ Two interoperable formats (SURVEY.md 5 'Checkpoint / resume'):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp

@@ -37,6 +37,8 @@ from semantic_pyramid_for_image_generation_tpu.parallel.mesh import (
     shard_state,
 )
 from semantic_pyramid_for_image_generation_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
     save_checkpoint,
 )
 from semantic_pyramid_for_image_generation_tpu.train.state import (
@@ -197,6 +199,32 @@ class Trainer:
             self.logger.save_metrics(self.paths["metrics"])
         if bar is not None:
             bar.close()
+
+    def auto_resume(self, models_dir: Optional[str] = None) -> bool:
+        """Failure recovery (SURVEY.md 5): restore the newest checkpoint under
+        `models_dir` (default: this run's models dir) if one exists. The
+        reference's recovery story is manual --load_checkpoint after a crash
+        (main.py:68-73); this makes restart-resume automatic."""
+        path = latest_checkpoint(models_dir or self.paths["models"])
+        if path is None:
+            return False
+        self.state = restore_checkpoint(path, self.state)
+        print(f"auto-resumed from {path} (step {int(self.state.step)})")
+        return True
+
+    def profile_steps(self, batch: Dict[str, Any], log_dir: str,
+                      steps: int = 3) -> None:
+        """Capture a jax.profiler trace around `steps` train steps
+        (SURVEY.md 5: the reference has no tracing support)."""
+        from semantic_pyramid_for_image_generation_tpu.utils.profiling import (
+            trace,
+        )
+
+        put = self._put(batch)
+        with trace(log_dir):
+            for _ in range(steps):
+                self.state, metrics = self.step_fn(self.state, put, self.rng)
+            jax.device_get(metrics["loss_generator"])
 
     # ------------------------------------------------------------------
     def validate(self) -> float:

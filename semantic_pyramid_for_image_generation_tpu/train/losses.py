@@ -12,7 +12,7 @@ computed with an ICI psum XLA inserts automatically).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

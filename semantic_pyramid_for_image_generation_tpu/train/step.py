@@ -18,7 +18,6 @@ the gradient all-reduce of data parallelism (SURVEY.md 2.11).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -28,7 +27,6 @@ import optax
 from semantic_pyramid_for_image_generation_tpu.config import (
     DEFAULT_W_DIV,
     DEFAULT_W_REC,
-    PyramidGANConfig,
 )
 from semantic_pyramid_for_image_generation_tpu.train.losses import (
     diversity_loss,
@@ -50,8 +48,13 @@ def make_train_step(
     w_rec: float = DEFAULT_W_REC,
     w_div: float = DEFAULT_W_DIV,
     donate: bool = True,
+    remat_vgg: bool = False,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the jitted `(state, batch, rng) -> (state, metrics)` step."""
+    """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
+
+    remat_vgg: rematerialize the VGG forward over the fakes in the G backward
+    (jax.checkpoint) — trades ~one extra VGG forward for dropping the deepest
+    activation set, unlocking larger per-chip batches."""
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         images = batch["images"]
@@ -106,7 +109,11 @@ def make_train_step(
                 fake, labels, train=True, mutable=["spectral"])
             loss_g = lsgan_generator_loss(pred_fake)
             loss_div = w_div * diversity_loss(fake, noise_g)
-            features_fake = vgg.apply({"params": state.vgg_params}, fake)
+            vgg_fwd = lambda img: vgg.apply(  # noqa: E731
+                {"params": state.vgg_params}, img)
+            if remat_vgg:
+                vgg_fwd = jax.checkpoint(vgg_fwd)
+            features_fake = vgg_fwd(fake)
             loss_rec = w_rec * semantic_reconstruction_loss(
                 features_real, features_fake, masks)
             total = loss_g + loss_div + loss_rec
