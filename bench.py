@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--no-pallas", dest="pallas", action="store_false")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="rematerialize the VGG-fake forward (bigger batches)")
+    parser.add_argument("--remat-blocks", dest="remat_blocks",
+                        action="store_true", default=False,
+                        help="rematerialize G/D residual blocks (biggest batches)")
     args = parser.parse_args()
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
@@ -48,7 +51,8 @@ def main():
     )
 
     use_pallas = args.pallas and jax.default_backend() == "tpu"
-    cfg = PyramidGANConfig(compute_dtype=args.dtype)
+    cfg = PyramidGANConfig(compute_dtype=args.dtype,
+                           remat_blocks=args.remat_blocks)
     g_tx, d_tx = make_optimizers()
     state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
                              use_pallas_attention=use_pallas)

@@ -47,12 +47,15 @@ class Discriminator(nn.Module):
         dtype = self.dtype
         x = images.astype(dtype)
         blocks = cfg.discriminator_block_channels
-        x = DiscriminatorInputResidualBlock(
-            blocks[0][1], dtype=dtype, name="block_0")(x, train)
+        input_cls = DiscriminatorInputResidualBlock
+        block_cls = DiscriminatorResidualBlock
+        if cfg.remat_blocks:
+            input_cls = nn.remat(input_cls, static_argnums=(2,))
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
+        x = input_cls(blocks[0][1], dtype=dtype, name="block_0")(x, train)
         attn_after = 2  # SelfAttention after the 256-channel block (models.py:120)
         for i, (_cin, cout) in enumerate(blocks[1:], start=1):
-            x = DiscriminatorResidualBlock(
-                cout, dtype=dtype, name=f"block_{i}")(x, train)
+            x = block_cls(cout, dtype=dtype, name=f"block_{i}")(x, train)
             if i == attn_after:
                 x = SelfAttention(
                     cout, use_pallas=self.use_pallas_attention, dtype=dtype,

@@ -67,11 +67,14 @@ class Generator(nn.Module):
                    padding=0, dtype=dtype, name="convolution_layer")(lrelu(x), train)
 
         attn_after = 2  # SelfAttention sits after the third block (models.py:44)
+        block_cls = GeneratorResidualBlock
+        if cfg.remat_blocks:
+            block_cls = nn.remat(block_cls, static_argnums=(4,))
         for i, (_cin, cout) in enumerate(cfg.generator_block_channels):
             feat = features[depth].astype(dtype)
             mask = masks[depth].astype(dtype)
             masked = jnp.concatenate([feat * mask, mask], axis=-1)
-            x = GeneratorResidualBlock(
+            x = block_cls(
                 in_channels=x.shape[-1], out_channels=cout,
                 num_classes=cfg.num_classes, dtype=dtype,
                 name=f"block_{i}")(x, masked, class_onehot, train)

@@ -39,20 +39,38 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
         (1, window, window, 1), (1, stride, stride, 1), "VALID")
 
 
-def avg_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
-    """nn.AvgPool2d(window, stride) on NHWC.
+@jax.custom_vjp
+def _avg_pool_2x2(x: jax.Array) -> jax.Array:
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return summed * jnp.array(0.25, x.dtype)
 
-    The 2x2/stride-2 case (every discriminator downsample) lowers to
-    reshape + scaled adds: its transpose is a broadcast instead of the
-    pad+reduce_window XLA emits for reduce_window-sum, which materialized
-    badly-laid-out 2GB temps in the D backward at batch 192."""
+
+def _avg_pool_2x2_fwd(x):
+    return _avg_pool_2x2(x), None
+
+
+def _avg_pool_2x2_bwd(_, g):
+    # exact transpose: broadcast each output cotangent over its 2x2 window.
+    # XLA's default transpose (pad + reduce_window) materialized 2GB
+    # badly-laid-out temps in the discriminator backward at large batch.
+    b, h, w, c = g.shape
+    g = g * jnp.array(0.25, g.dtype)
+    g = jnp.broadcast_to(g[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return (g.reshape(b, 2 * h, 2 * w, c),)
+
+
+_avg_pool_2x2.defvjp(_avg_pool_2x2_fwd, _avg_pool_2x2_bwd)
+
+
+def avg_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
+    """nn.AvgPool2d(window, stride) on NHWC. The 2x2/stride-2 case (every
+    discriminator downsample) keeps the fast reduce_window forward but uses a
+    broadcast custom transpose (see _avg_pool_2x2_bwd)."""
     stride = window if stride is None else stride
-    b, h, w, c = x.shape
+    _, h, w, _ = x.shape
     if window == 2 and stride == 2 and h % 2 == 0 and w % 2 == 0:
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x[:, :, 0] + x[:, :, 1]
-        x = x[:, :, :, 0] + x[:, :, :, 1]
-        return x * jnp.array(0.25, x.dtype)
+        return _avg_pool_2x2(x)
     # NOTE: init value must be a Python scalar — an Array init selects the
     # generic variadic reduce_window primitive, which has no transpose rule.
     summed = jax.lax.reduce_window(
