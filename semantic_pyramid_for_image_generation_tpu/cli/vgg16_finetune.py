@@ -103,13 +103,16 @@ def main(argv=None) -> int:
         print("Cold start: random VGG16 init")
     params = variables["params"]
 
-    # step lr decay /10 every 30 epochs (vgg_16_train.py:252-256)
-    steps_per_epoch = None
+    # step lr decay /10 every 30 epochs (vgg_16_train.py:252-256); epoch is
+    # threaded as a scale so the jitted step never recompiles
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
+    def epoch_lr_scale(epoch: int) -> float:
+        return 0.1 ** (epoch // 30)
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, images, labels, rng):
+    def train_step(params, opt_state, images, labels, rng, lr_scale):
         def loss_fn(p):
             logits = model.apply({"params": p}, images, train=True,
                                  rngs={"dropout": rng})
@@ -119,6 +122,7 @@ def main(argv=None) -> int:
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         return params, opt_state, loss, top1
@@ -187,7 +191,8 @@ def main(argv=None) -> int:
             batch = shard_batch(
                 {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
             params, opt_state, loss, top1 = train_step(
-                params, opt_state, batch["i"], batch["l"], step_rng)
+                params, opt_state, batch["i"], batch["l"], step_rng,
+                jnp.float32(epoch_lr_scale(epoch)))
             loss_m.update(loss, images.shape[0])
             top1_m.update(top1, images.shape[0])
             if it % 50 == 0:

@@ -137,3 +137,19 @@ class TestPool:
         want = F.adaptive_avg_pool2d(_to_torch(x), (out, out))
         got = adaptive_avg_pool_2d(jnp.asarray(x), out, out)
         np.testing.assert_allclose(got, _from_torch(want), atol=1e-5)
+
+
+class TestAvgPoolCustomVJP:
+    def test_gradient_matches_reshape_reference(self, rng):
+        """avg_pool 2x2 uses a custom broadcast transpose; check vs autodiff
+        of the reshape-mean formulation."""
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+
+        def ref(x):
+            b, h, w, c = x.shape
+            return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+        g_ours = jax.grad(lambda x: jnp.sum(jnp.sin(avg_pool_2d(x))))(x)
+        g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(ref(x))))(x)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   atol=1e-6)
