@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: divide VGG widths (CPU-scale smoke runs)")
     p.add_argument("--auto_resume", type=str, default=None,
                    help="models dir to auto-restore the newest checkpoint from")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multihost", default=False, action="store_true",
+                   help="initialize the JAX distributed runtime (multi-host "
+                        "pods; single-host pods need no flag)")
     return p
 
 
@@ -68,6 +72,8 @@ def main(argv=None) -> int:
         # env vars are too late here (this image's sitecustomize imports jax
         # at interpreter startup); switch via config instead
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        jax.distributed.initialize()
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
     from semantic_pyramid_for_image_generation_tpu.data.places365 import (
@@ -131,7 +137,7 @@ def main(argv=None) -> int:
 
     trainer = Trainer(
         config, train_loader, val_loader,
-        lr=args.lr, w_rec=args.w_rec, w_div=args.w_div,
+        lr=args.lr, w_rec=args.w_rec, w_div=args.w_div, seed=args.seed,
         save_data_path=args.save_data_path,
         use_pallas_attention=args.pallas and jax.default_backend() == "tpu",
         g_variables=g_variables, d_variables=d_variables,

@@ -30,6 +30,12 @@ class PyramidGANConfig:
     channels_factor: float = 1.0       # reference --channel_factor (main.py:18-19)
     vgg_width_factor: int = 1          # divides VGG conv/fc7 widths (tests/dryrun only)
 
+    # --- mask schedule --------------------------------------------------------
+    # Probability of the spatially-varying random-shapes branch in the
+    # training mask schedule (hidden constant in the reference,
+    # /root/reference/misc.py:17 — promoted to config per SURVEY.md 5).
+    p_random_mask: float = 0.3
+
     # --- behavior switches ---------------------------------------------------
     # Reproduce the reference's broadcast quirk where the projection
     # discriminator returns (B, B, 128) instead of a (B, 1) score

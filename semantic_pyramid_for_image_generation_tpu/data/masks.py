@@ -73,7 +73,10 @@ class MaskSchedule:
     """Mask generator bound to a pyramid contract (shapes from config)."""
 
     config: PyramidGANConfig = PyramidGANConfig()
-    p_random_mask: float = 0.3
+
+    @property
+    def p_random_mask(self) -> float:
+        return self.config.p_random_mask
 
     @property
     def shapes(self) -> Tuple[Tuple[int, ...], ...]:

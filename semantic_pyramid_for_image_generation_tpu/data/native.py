@@ -64,13 +64,14 @@ def native_available() -> bool:
 
 def generate_masks_batch(
     config: PyramidGANConfig, batch: int, seed: int, epoch: int = 0,
-    p_random: float = 0.3, validation: bool = False,
+    p_random: Optional[float] = None, validation: bool = False,
 ) -> Optional[List[np.ndarray]]:
     """Batched mask schedule via the native kernel; shallow->deep 7-list with
     the same layout as MaskSchedule.batch. None if the library is missing."""
     lib = load_library()
     if lib is None:
         return None
+    p_random = config.p_random_mask if p_random is None else p_random
     dims = list(config.pyramid_spatial)  # shallow->deep
     conv = [np.empty((batch, d, d, 1), np.float32) for d in dims]
     fc7 = np.empty((batch, config.vgg_fc7_dim), np.float32)

@@ -109,3 +109,30 @@ def test_data_parallel_mesh_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(multi_state.g_params)[0]),
         np.asarray(jax.tree.leaves(single_state.g_params)[0]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_remat_blocks_is_math_identical(setup):
+    """remat_blocks recomputes forwards in the backward; results must be
+    bit-comparable to the plain path."""
+    import dataclasses
+
+    state, step, _ = setup
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(CFG, batch=4))
+    plain_state, plain_metrics = step(state, batch, jax.random.key(7))
+
+    cfg_r = dataclasses.replace(CFG, remat_blocks=True)
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state as _init,
+    )
+    g_tx, d_tx = make_optimizers(lr=1e-4)
+    state_r = _init(jax.random.key(0), cfg_r, g_tx, d_tx)
+    step_r = make_train_step(*make_models(cfg_r), g_tx, d_tx, donate=False)
+    remat_state, remat_metrics = step_r(state_r, batch, jax.random.key(7))
+    for k in plain_metrics:
+        np.testing.assert_allclose(float(remat_metrics[k]),
+                                   float(plain_metrics[k]), rtol=1e-5,
+                                   atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(remat_state.g_params)[0]),
+        np.asarray(jax.tree.leaves(plain_state.g_params)[0]), atol=1e-8)
