@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--remat-blocks", dest="remat_blocks",
                         action="store_true", default=False,
                         help="rematerialize G/D residual blocks (biggest batches)")
+    parser.add_argument("--canonical-projection", dest="canonical",
+                        action="store_true", default=False,
+                        help="canonical (B,1) projection head instead of the "
+                             "reference's (B,B,128) broadcast quirk")
     args = parser.parse_args()
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
@@ -52,7 +56,8 @@ def main():
 
     use_pallas = args.pallas and jax.default_backend() == "tpu"
     cfg = PyramidGANConfig(compute_dtype=args.dtype,
-                           remat_blocks=args.remat_blocks)
+                           remat_blocks=args.remat_blocks,
+                           compat_projection=not args.canonical)
     g_tx, d_tx = make_optimizers()
     state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
                              use_pallas_attention=use_pallas)
