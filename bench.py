@@ -39,6 +39,10 @@ def main():
                         action="store_true", default=False,
                         help="canonical (B,1) projection head instead of the "
                              "reference's (B,B,128) broadcast quirk")
+    parser.add_argument("--fused-d", dest="fused_d", action="store_true",
+                        default=False,
+                        help="perf mode: one D(real++fake) 2B pass "
+                             "(implies --canonical-projection)")
     args = parser.parse_args()
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
@@ -55,15 +59,16 @@ def main():
     )
 
     use_pallas = args.pallas and jax.default_backend() == "tpu"
-    cfg = PyramidGANConfig(compute_dtype=args.dtype,
-                           remat_blocks=args.remat_blocks,
-                           compat_projection=not args.canonical)
+    cfg = PyramidGANConfig(
+        compute_dtype=args.dtype, remat_blocks=args.remat_blocks,
+        compat_projection=not (args.canonical or args.fused_d))
     g_tx, d_tx = make_optimizers()
     state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
                              use_pallas_attention=use_pallas)
     generator, discriminator, vgg = make_models(cfg, use_pallas)
     step = make_train_step(generator, discriminator, vgg, g_tx, d_tx,
-                           remat_vgg=args.remat)
+                           remat_vgg=args.remat,
+                           fused_discriminator=args.fused_d)
 
     batch = jax.tree.map(
         jnp.asarray,

@@ -49,12 +49,21 @@ def make_train_step(
     w_div: float = DEFAULT_W_DIV,
     donate: bool = True,
     remat_vgg: bool = False,
+    fused_discriminator: bool = False,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
 
     remat_vgg: rematerialize the VGG forward over the fakes in the G backward
     (jax.checkpoint) — trades ~one extra VGG forward for dropping the deepest
-    activation set, unlocking larger per-chip batches."""
+    activation set, unlocking larger per-chip batches.
+
+    fused_discriminator: perf mode — run D(real ++ fake) as one 2B-batch pass
+    in the D phase (identical per-element math, one spectral advance instead
+    of two). Requires compat_projection=False: the reference's (B,B,128)
+    broadcast quirk mixes batch rows and cannot be split blockwise."""
+    if fused_discriminator:
+        assert not discriminator.config.compat_projection, (
+            "fused_discriminator requires compat_projection=False")
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         images = batch["images"]
@@ -80,14 +89,24 @@ def make_train_step(
         g_spectral, g_batch_stats = g_mut["spectral"], g_mut["batch_stats"]
 
         def d_loss_fn(d_params):
-            pred_real, mut1 = discriminator.apply(
-                {"params": d_params, "spectral": state.d_spectral},
-                images, labels, train=True, mutable=["spectral"])
-            pred_fake, mut2 = discriminator.apply(
-                {"params": d_params, "spectral": mut1["spectral"]},
-                fake_d, labels, train=True, mutable=["spectral"])
+            if fused_discriminator:
+                pred, mut = discriminator.apply(
+                    {"params": d_params, "spectral": state.d_spectral},
+                    jnp.concatenate([images.astype(fake_d.dtype), fake_d], 0),
+                    jnp.concatenate([labels, labels], 0),
+                    train=True, mutable=["spectral"])
+                pred_real, pred_fake = pred[:b], pred[b:]
+                d_spectral_new = mut["spectral"]
+            else:
+                pred_real, mut1 = discriminator.apply(
+                    {"params": d_params, "spectral": state.d_spectral},
+                    images, labels, train=True, mutable=["spectral"])
+                pred_fake, mut2 = discriminator.apply(
+                    {"params": d_params, "spectral": mut1["spectral"]},
+                    fake_d, labels, train=True, mutable=["spectral"])
+                d_spectral_new = mut2["spectral"]
             loss_real, loss_fake = lsgan_discriminator_loss(pred_real, pred_fake)
-            return loss_real + loss_fake, (loss_real, loss_fake, mut2["spectral"])
+            return loss_real + loss_fake, (loss_real, loss_fake, d_spectral_new)
 
         (_, (loss_d_real, loss_d_fake, d_spectral)), d_grads = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params))
