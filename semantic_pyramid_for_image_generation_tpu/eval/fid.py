@@ -77,7 +77,16 @@ class FIDEvaluator:
     def __init__(self, inception_variables: Optional[Dict[str, Any]] = None,
                  dtype: str = "float32"):
         self.model = InceptionV3Features(dtype=jnp.dtype(dtype))
+        self.random_init = inception_variables is None
         if inception_variables is None:
+            import warnings
+
+            warnings.warn(
+                "FIDEvaluator built WITHOUT pretrained Inception weights — "
+                "the backbone is randomly initialized and the reported value "
+                "is NOT a standard FID (pipeline-smoke only). Pass converted "
+                "torchvision inception_v3 weights via --load_inception for "
+                "comparable numbers.", UserWarning, stacklevel=2)
             inception_variables = self.model.init(
                 jax.random.key(0), jnp.zeros((1, 299, 299, 3), jnp.float32))
         self.variables = inception_variables

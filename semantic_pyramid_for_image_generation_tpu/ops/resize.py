@@ -89,9 +89,15 @@ def resize_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.A
 
 def resize_bilinear_half_pixel(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """torch `align_corners=False` bilinear == jax.image.resize 'linear'
-    (both use half-pixel centers). NHWC input."""
+    (both use half-pixel centers). NHWC input.
+
+    antialias=False: torch F.interpolate does not antialias by default, and
+    jax.image.resize's default antialias=True widens the kernel when
+    downscaling, which would silently break FID parity for inputs > 299.
+    """
     b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_h, out_w, c), method="linear")
+    return jax.image.resize(x, (b, out_h, out_w, c), method="linear",
+                            antialias=False)
 
 
 def interpolate_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:

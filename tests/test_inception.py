@@ -1,4 +1,5 @@
-"""InceptionV3 FID backbone: shapes, converter plumbing, determinism."""
+"""InceptionV3 FID backbone: elementwise parity vs an executing torch mirror
+of torchvision's Inception3, converter plumbing, determinism."""
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,47 @@ from semantic_pyramid_for_image_generation_tpu.models.inception import (
     InceptionV3Features,
     convert_inception_state_dict,
 )
+from torch_inception import randomized_mirror
+
+
+class TestInceptionParity:
+    """models/inception.py vs the genuine torchvision Inception3 semantics
+    (tests/torch_inception.py executes the architecture with torchvision
+    module names, so state_dict() keys ARE torchvision keys). Ref:
+    /root/reference/frechet_inception_distance.py:12-42."""
+
+    def test_fid_features_parity_299(self):
+        mirror = randomized_mirror(seed=0)
+        variables = convert_inception_state_dict(mirror.state_dict())
+        ours = InceptionV3Features()
+
+        rng = np.random.default_rng(5)
+        images = (rng.random((2, 3, 299, 299)).astype(np.float32) * 2.0) - 1.0
+        with torch.no_grad():
+            want = mirror(torch.from_numpy(images)).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(images.transpose(0, 2, 3, 1))))
+        assert got.shape == (2, 2048)
+        scale = np.abs(want).mean()
+        np.testing.assert_allclose(got, want, atol=3e-4 * max(scale, 1.0),
+                                   rtol=2e-4)
+
+    def test_fid_features_parity_odd_size(self):
+        """75x75 (min inception size) exercises every VALID pool/stride edge
+        case differently from 299."""
+        mirror = randomized_mirror(seed=1)
+        variables = convert_inception_state_dict(mirror.state_dict())
+        ours = InceptionV3Features()
+
+        rng = np.random.default_rng(6)
+        images = rng.standard_normal((1, 3, 75, 75)).astype(np.float32)
+        with torch.no_grad():
+            want = mirror(torch.from_numpy(images)).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(images.transpose(0, 2, 3, 1))))
+        scale = np.abs(want).mean()
+        np.testing.assert_allclose(got, want, atol=3e-4 * max(scale, 1.0),
+                                   rtol=2e-4)
 
 
 def test_feature_shapes_and_determinism(rng):
