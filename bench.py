@@ -21,6 +21,111 @@ import numpy as np
 V100_BASELINE_IMG_PER_SEC = 600_000 / (24 * 3600)  # ~6.94
 
 
+def make_jpeg_tree(root: str, image_size: int, per_class: int = 64,
+                   classes: int = 4) -> str:
+    """Synthetic Places365-format JPEG tree for host-pipeline measurement."""
+    import os
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for c in range(classes):
+        d = os.path.join(root, "train", f"class_{c:02d}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            # low-frequency content so JPEG decode cost is realistic
+            base = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            img = Image.fromarray(base).resize((image_size, image_size),
+                                               Image.BILINEAR)
+            img.save(os.path.join(d, f"{i:03d}.jpg"), quality=88)
+            lines.append(f"train/class_{c:02d}/{i:03d}.jpg")
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return root
+
+
+def host_pipeline_bench(args) -> None:
+    """End-to-end (host-fed) training throughput: real JPEG decode + native
+    mask/normalize kernels + device feed, vs the synthetic-batch number
+    (SURVEY.md hard part 8; reference anchor: num_workers=batch_size
+    DataLoader, /root/reference/main.py:82)."""
+    import tempfile
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.places365 import (
+        Places365,
+        Places365Loader,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state,
+        make_models,
+        make_optimizers,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        make_train_step,
+    )
+
+    use_pallas = args.pallas and jax.default_backend() == "tpu"
+    cfg = PyramidGANConfig(
+        compute_dtype=args.dtype, remat_blocks=args.remat_blocks,
+        compat_projection=not (args.canonical or args.fused_d))
+
+    with tempfile.TemporaryDirectory() as root:
+        make_jpeg_tree(root, cfg.image_size,
+                       per_class=max(16, args.batch_size // 2))
+        ds = Places365(root, "train.txt", cfg)
+        loader = Places365Loader(ds, batch_size=args.batch_size,
+                                 num_workers=args.num_workers, prefetch=2)
+
+        # --- loader-only throughput (host decode + masks + collate) --------
+        for _ in loader:  # warm the page cache / thread pool
+            break
+        t0 = time.perf_counter()
+        n_imgs = 0
+        for batch in loader:
+            n_imgs += batch["images"].shape[0]
+        loader_rate = n_imgs / (time.perf_counter() - t0)
+
+        # --- host-fed train-step throughput ---------------------------------
+        g_tx, d_tx = make_optimizers()
+        state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
+                                 use_pallas_attention=use_pallas)
+        generator, discriminator, vgg = make_models(cfg, use_pallas)
+        step = make_train_step(generator, discriminator, vgg, g_tx, d_tx,
+                               remat_vgg=args.remat,
+                               fused_discriminator=args.fused_d)
+        rng = jax.random.key(1)
+        first = next(iter(loader))
+        put = lambda b: jax.tree.map(jnp.asarray, b)  # noqa: E731
+        for _ in range(args.warmup):
+            state, metrics = step(state, put(first), rng)
+        float(jax.device_get(metrics["loss_generator"]))
+
+        t0 = time.perf_counter()
+        n_imgs = 0
+        steps_done = 0
+        while steps_done < args.steps:
+            for batch in loader:
+                state, metrics = step(state, put(batch), rng)
+                n_imgs += batch["images"].shape[0]
+                steps_done += 1
+                if steps_done >= args.steps:
+                    break
+        float(jax.device_get(metrics["loss_generator"]))
+        dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    per_chip = n_imgs / dt / n_chips
+    print(json.dumps({
+        "metric": "images/sec/chip, 256x256 host-fed (JPEG decode + native "
+                  f"masks) train step; loader alone: {round(loader_rate, 1)}",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=128)
@@ -43,7 +148,17 @@ def main():
                         default=False,
                         help="perf mode: one D(real++fake) 2B pass "
                              "(implies --canonical-projection)")
+    parser.add_argument("--host-pipeline", dest="host_pipeline",
+                        action="store_true", default=False,
+                        help="measure end-to-end host-fed throughput (JPEG "
+                             "tree + native mask/normalize kernels) instead "
+                             "of the synthetic device-resident batch")
+    parser.add_argument("--num_workers", type=int, default=16)
     args = parser.parse_args()
+
+    if args.host_pipeline:
+        host_pipeline_bench(args)
+        return
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
     from semantic_pyramid_for_image_generation_tpu.data.synthetic import (

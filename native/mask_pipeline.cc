@@ -120,12 +120,16 @@ extern "C" {
 // conv_dims: their spatial sizes shallow->deep (e.g. 128,64,32,16,8).
 // fc7/fc8: (batch, fc7_dim) / (batch, fc8_dim).
 // validation != 0 selects the one-hot-only schedule (misc.py:71-75).
-void generate_masks(uint64_t seed, uint64_t epoch, int batch,
-                    float** conv_out, const int* conv_dims, float* fc7,
-                    int fc7_dim, float* fc8, int fc8_dim, float p_random,
-                    int validation) {
+// Returns 0 on success, 1 if any conv dim exceeds the 128x128 raster buffers
+// (image_size > 256 configs must use the numpy schedule).
+int generate_masks(uint64_t seed, uint64_t epoch, int batch,
+                   float** conv_out, const int* conv_dims, float* fc7,
+                   int fc7_dim, float* fc8, int fc8_dim, float p_random,
+                   int validation) {
   // deep-first stage indexing: 0=fc8, 1=fc7, 2..6 = conv deep->shallow
   const int n_levels = kConvLevels + 2;
+  for (int i = 0; i < kConvLevels; ++i)
+    if (conv_dims[i] > 128 || conv_dims[i] < 1) return 1;
   float scratch[128 * 128];
   float resized[128 * 128];
   for (int b = 0; b < batch; ++b) {
@@ -171,6 +175,7 @@ void generate_masks(uint64_t seed, uint64_t epoch, int batch,
       }
     }
   }
+  return 0;
 }
 
 // uint8 HWC (c in {1,3,4}) -> float32 HW3 per-image min-max to [-1, 1]

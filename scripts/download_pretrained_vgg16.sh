@@ -10,9 +10,10 @@ wget http://places2.csail.mit.edu/models_places365/vgg16_places365.caffemodel
 wget https://raw.githubusercontent.com/CSAILVision/places365/master/deploy_vgg16_places365.prototxt
 python caffemodel2pytorch/caffemodel2pytorch.py vgg16_places365.caffemodel -o vgg_places365.h5
 python - <<'PY'
-# h5 -> torch whole-model pickle with caffe-style names, then -> our format
-# (mirrors /root/reference/caffe2pytorchvgg16.py's role)
-import torch, torch.nn as nn, h5py, numpy as np
+# h5 -> torch state dict with caffe-style names (conv1_1..fc8a); the vgg-pt
+# converter auto-remaps those onto torchvision indices, mirroring
+# /root/reference/caffe2pytorchvgg16.py's named-Sequential load
+import torch, h5py, numpy as np
 sd = {}
 with h5py.File('vgg_places365.h5', 'r') as f:
     for k in f.keys():

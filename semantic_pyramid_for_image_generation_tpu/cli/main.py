@@ -57,10 +57,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_resume", type=str, default=None,
                    help="models dir to auto-restore the newest checkpoint from")
     p.add_argument("--seed", type=int, default=0)
+    # --- perf modes (OPTIM.md measured; defaults preserve reference parity) ---
+    p.add_argument("--canonical_projection", default=False, action="store_true",
+                   help="canonical (B,1) projection-discriminator head instead "
+                        "of the reference's (B,B,128) broadcast quirk "
+                        "(models.py:146-155)")
+    p.add_argument("--fused_d", default=False, action="store_true",
+                   help="perf mode: one D(real++fake) 2B-batch pass per D "
+                        "phase (implies --canonical_projection)")
+    p.add_argument("--remat_vgg", default=False, action="store_true",
+                   help="rematerialize the VGG-fake forward in the G backward "
+                        "(bigger per-chip batches)")
+    p.add_argument("--remat_blocks", default=False, action="store_true",
+                   help="rematerialize G/D residual blocks (biggest batches)")
     p.add_argument("--multihost", default=False, action="store_true",
                    help="initialize the JAX distributed runtime (multi-host "
                         "pods; single-host pods need no flag)")
     return p
+
+
+def config_from_args(args):
+    """Flag → PyramidGANConfig plumbing (perf modes included)."""
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+
+    return PyramidGANConfig(
+        channels_factor=args.channel_factor, compute_dtype=args.dtype,
+        vgg_width_factor=args.vgg_width_factor,
+        compat_projection=not (args.canonical_projection or args.fused_d),
+        remat_blocks=args.remat_blocks)
 
 
 def main(argv=None) -> int:
@@ -75,7 +99,6 @@ def main(argv=None) -> int:
     if args.multihost:
         jax.distributed.initialize()
 
-    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
     from semantic_pyramid_for_image_generation_tpu.data.places365 import (
         Places365,
         Places365Loader,
@@ -90,9 +113,7 @@ def main(argv=None) -> int:
               f"(multiple of the {n_dev}-device data mesh)")
         args.batch_size = rounded
 
-    config = PyramidGANConfig(
-        channels_factor=args.channel_factor, compute_dtype=args.dtype,
-        vgg_width_factor=args.vgg_width_factor)
+    config = config_from_args(args)
 
     g_variables = d_variables = vgg_variables = inception_variables = None
     import os
@@ -106,14 +127,17 @@ def main(argv=None) -> int:
         vgg_variables = convert_vgg16_state_dict(
             load_torch_file(args.load_pretrained_vgg16))
         print(f"Loaded pretrained VGG16 from {args.load_pretrained_vgg16}")
+    g_moments = d_moments = None
     if args.load_checkpoint and args.load_checkpoint.endswith(".pt"):
         from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
             load_reference_gan_checkpoint,
         )
 
-        g_variables, d_variables = load_reference_gan_checkpoint(
-            args.load_checkpoint)
-        print(f"Imported reference checkpoint {args.load_checkpoint}")
+        g_variables, d_variables, g_moments, d_moments = (
+            load_reference_gan_checkpoint(args.load_checkpoint,
+                                          include_optimizer=True))
+        print(f"Imported reference checkpoint {args.load_checkpoint}"
+              + (" (with Adam moments)" if g_moments or d_moments else ""))
     if args.load_inception and os.path.exists(args.load_inception):
         from semantic_pyramid_for_image_generation_tpu.models.inception import (
             convert_inception_state_dict,
@@ -140,10 +164,13 @@ def main(argv=None) -> int:
         lr=args.lr, w_rec=args.w_rec, w_div=args.w_div, seed=args.seed,
         save_data_path=args.save_data_path,
         use_pallas_attention=args.pallas and jax.default_backend() == "tpu",
+        remat_vgg=args.remat_vgg, fused_discriminator=args.fused_d,
         g_variables=g_variables, d_variables=d_variables,
         vgg_variables=vgg_variables,
         inception_variables=inception_variables)
 
+    if g_moments is not None or d_moments is not None:
+        trainer.import_adam_moments(g_moments, d_moments)
     if args.auto_resume:
         trainer.auto_resume(args.auto_resume)
     if args.load_checkpoint and not args.load_checkpoint.endswith(".pt"):

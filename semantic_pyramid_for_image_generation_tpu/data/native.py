@@ -50,6 +50,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_float, ctypes.c_int,
     ]
+    lib.generate_masks.restype = ctypes.c_int
     lib.normalize_minmax_m11.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p,
@@ -73,17 +74,21 @@ def generate_masks_batch(
         return None
     p_random = config.p_random_mask if p_random is None else p_random
     dims = list(config.pyramid_spatial)  # shallow->deep
+    if len(dims) != 5 or max(dims) > 128:
+        return None  # the kernel rasterizes into fixed 128x128 buffers
     conv = [np.empty((batch, d, d, 1), np.float32) for d in dims]
     fc7 = np.empty((batch, config.vgg_fc7_dim), np.float32)
     fc8 = np.empty((batch, config.num_classes), np.float32)
     ptrs = (ctypes.c_void_p * 5)(*[c.ctypes.data for c in conv])
     cdims = (ctypes.c_int * 5)(*dims)
-    lib.generate_masks(
+    rc = lib.generate_masks(
         ctypes.c_uint64(seed), ctypes.c_uint64(epoch), ctypes.c_int(batch),
         ptrs, cdims,
         fc7.ctypes.data, ctypes.c_int(fc7.shape[1]),
         fc8.ctypes.data, ctypes.c_int(fc8.shape[1]),
         ctypes.c_float(p_random), ctypes.c_int(1 if validation else 0))
+    if rc != 0:
+        return None
     return conv + [fc7, fc8]
 
 

@@ -76,7 +76,16 @@ class Places365:
         with Image.open(os.path.join(self.root, path)) as img:
             if img.size != (size, size):
                 img = img.resize((size, size), Image.BILINEAR)
-            arr = np.asarray(img, dtype=np.float32) / 255.0
+            raw = np.asarray(img)
+        if raw.dtype == np.uint8:
+            # native batched kernel: uint8 HWC -> float32 HW3 in [-1,1]
+            # (grayscale broadcast + per-image min-max, data.py:46-56)
+            from semantic_pyramid_for_image_generation_tpu.data import native
+
+            out = native.normalize_image_m11(raw)
+            if out is not None:
+                return out
+        arr = raw.astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[:, :, None]
         if arr.shape[-1] == 1:
@@ -87,11 +96,14 @@ class Places365:
         mn, mx = arr.min(), arr.max()
         return 2.0 * (arr - mn) / max(mx - mn, 1e-12) - 1.0
 
-    def sample(self, index: int, rng: np.random.Generator):
+    def sample(self, index: int, rng: np.random.Generator,
+               with_masks: bool = True):
         path = self.file_paths[index]
         image = self._load_image(path)
         label = np.zeros(self.config.num_classes, dtype=np.float32)
         label[self.label_dict[path.split("/")[1]] % self.config.num_classes] = 1.0
+        if not with_masks:  # masks come from the native batched kernel
+            return image, label, None
         if self.validation:
             masks = self.schedule.validation_masks(rng)
         else:
@@ -116,6 +128,7 @@ class Places365Loader:
         num_workers: int = 8,
         prefetch: int = 2,
         seed: int = 0,
+        use_native_masks: Optional[bool] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -125,16 +138,38 @@ class Places365Loader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        if use_native_masks is None:  # auto: native batched kernel if built
+            from semantic_pyramid_for_image_generation_tpu.data import native
+
+            use_native_masks = native.native_available()
+        self.use_native_masks = use_native_masks
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _collate(self, samples) -> Dict[str, Any]:
+    def _collate(self, samples, native_masks=None) -> Dict[str, Any]:
         images = np.stack([s[0] for s in samples])
         labels = np.stack([s[1] for s in samples])
-        masks = self.dataset.schedule.batch([s[2] for s in samples])
+        if native_masks is not None:
+            masks = native_masks
+        else:
+            masks = self.dataset.schedule.batch([s[2] for s in samples])
         return {"images": images, "labels": labels, "masks": tuple(masks)}
+
+    def _native_masks(self, batch: int, batch_index: int, n_batches: int):
+        """Batched mask schedule via the C++ kernel (native/mask_pipeline.cc);
+        None -> fall back to the per-sample numpy schedule. Seeded per
+        (loader seed, epoch, batch index): distribution-equivalent to the
+        reference's fresh-per-sample draw (misc.py:13-68)."""
+        if not self.use_native_masks:
+            return None
+        from semantic_pyramid_for_image_generation_tpu.data import native
+
+        return native.generate_masks_batch(
+            self.dataset.config, batch, seed=self.seed,
+            epoch=self.epoch * max(n_batches, 1) + batch_index,
+            validation=self.dataset.validation)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = np.arange(len(self.dataset))
@@ -146,18 +181,33 @@ class Places365Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # stop-aware bounded put: an abandoned iterator sets `stop`, and a
+            # plain blocking put on the full prefetch queue would then leak
+            # this thread + its worker pool + prefetched batches forever
+            while True:
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    native_masks = self._native_masks(len(idx), b, n_batches)
                     rngs = [np.random.default_rng((self.seed, self.epoch, int(i)))
                             for i in idx]
                     samples = list(pool.map(
-                        self.dataset.sample, [int(i) for i in idx], rngs))
-                    out_q.put(self._collate(samples))
-            out_q.put(None)
+                        self.dataset.sample, [int(i) for i in idx], rngs,
+                        [native_masks is None] * len(idx)))
+                    if not put_or_stop(self._collate(samples, native_masks)):
+                        return
+            put_or_stop(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

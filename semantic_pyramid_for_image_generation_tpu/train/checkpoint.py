@@ -4,9 +4,9 @@ Two interoperable formats (SURVEY.md 5 'Checkpoint / resume'):
   * orbax: the full TrainState pytree (params, optimizer slots, spectral u/v,
     BN stats, step) — async-capable, sharding-aware; the native format.
   * torch `.pt`: reference checkpoints (`checkpoint_XXX.pt` with G/D state
-    dicts, model_wrapper.py:215-223) import via utils.pt_interop; optimizer
-    moments restart (torch Adam slots are keyed by parameter ids, conversion
-    is intentionally out of scope — documented).
+    dicts, model_wrapper.py:215-223) import via utils.pt_interop, including
+    the torch Adam moments (convert_adam_moments + state.inject_adam_moments)
+    so a resumed reference run continues with identical updates.
 """
 
 from __future__ import annotations

@@ -44,6 +44,7 @@ from semantic_pyramid_for_image_generation_tpu.train.checkpoint import (
 from semantic_pyramid_for_image_generation_tpu.train.state import (
     TrainState,
     init_train_state,
+    inject_adam_moments,
     make_models,
     make_optimizers,
     param_count,
@@ -70,6 +71,8 @@ class Trainer:
         save_data_path: str = "saved_data",
         use_pallas_attention: bool = False,
         use_mesh: bool = True,
+        remat_vgg: bool = False,
+        fused_discriminator: bool = False,
         seed: int = 0,
         state: Optional[TrainState] = None,
         inception_variables=None,
@@ -96,10 +99,13 @@ class Trainer:
         self.state = state
         self.step_fn = make_train_step(
             self.generator, self.discriminator, self.vgg,
-            self.g_tx, self.d_tx, w_rec=w_rec, w_div=w_div)
+            self.g_tx, self.d_tx, w_rec=w_rec, w_div=w_div,
+            remat_vgg=remat_vgg, fused_discriminator=fused_discriminator)
         self.generate_fn = make_generate_fn(self.generator, self.vgg)
         self.fid_evaluator = FIDEvaluator(inception_variables)
+        self.seed = seed
         self.rng = jax.random.key(seed + 1)
+        self._inference_batch: Optional[Dict[str, Any]] = None
         self.logger = Logger()
         self.paths = make_run_dirs(save_data_path)
         self.samples_seen = 0
@@ -200,6 +206,21 @@ class Trainer:
         if bar is not None:
             bar.close()
 
+    def import_adam_moments(self, g_moments=None, d_moments=None) -> None:
+        """Adopt converted torch Adam moments (utils.pt_interop
+        .convert_adam_moments) so resuming from a reference checkpoint
+        continues with identical updates (/root/reference/main.py:68-73)."""
+        state = self.state
+        if g_moments is not None:
+            state = state.replace(g_opt_state=inject_adam_moments(
+                state.g_opt_state, g_moments))
+        if d_moments is not None:
+            state = state.replace(d_opt_state=inject_adam_moments(
+                state.d_opt_state, d_moments))
+        if self.mesh is not None:
+            state = shard_state(state, self.mesh)
+        self.state = state
+
     def auto_resume(self, models_dir: Optional[str] = None) -> bool:
         """Failure recovery (SURVEY.md 5): restore the newest checkpoint under
         `models_dir` (default: this run's models dir) if one exists. The
@@ -240,14 +261,35 @@ class Trainer:
             (self._put(self._pad_to_mesh(b)) for b in self.validation_dataset),
             generate)
 
+    def _draw_inference_samples(self, num_images: int):
+        """Seeded random draw of `num_images` distinct validation samples —
+        the reference's intent at model_wrapper.py:258-260 (random validation
+        samples per grid). Seeded by (seed, samples_seen) so grids vary across
+        training yet reruns reproduce them. Falls back to a cached first batch
+        for plain-iterable validation datasets (also avoiding the per-call
+        iterator churn of re-creating the threaded loader pipeline)."""
+        ds = getattr(self.validation_dataset, "dataset", None)
+        if ds is not None and hasattr(ds, "sample") and len(ds) > 0:
+            pick = np.random.default_rng((self.seed, self.samples_seen))
+            idx = pick.choice(len(ds), size=min(num_images, len(ds)),
+                              replace=False)
+            samples = [ds.sample(int(i), np.random.default_rng((self.seed, int(i))))
+                       for i in idx]
+            images = np.stack([s[0] for s in samples])
+            labels = np.stack([s[1] for s in samples])
+            return images, labels
+        if self._inference_batch is None:
+            self._inference_batch = next(iter(self.validation_dataset))
+        batch = self._inference_batch
+        return (np.asarray(batch["images"][:num_images]),
+                np.asarray(batch["labels"][:num_images]))
+
     def inference(self, num_images: int = 7) -> Optional[str]:
         """7x7 mask-level sweep grid (model_wrapper.py:247-296): rows are
         validation images, columns pin conditioning at each pyramid level."""
         if self.validation_dataset is None:
             return None
-        batch = next(iter(self.validation_dataset))
-        images = batch["images"][:num_images]
-        labels = batch["labels"][:num_images]
+        images, labels = self._draw_inference_samples(num_images)
         if images.shape[0] < num_images:
             reps = -(-num_images // images.shape[0])
             images = np.tile(images, (reps, 1, 1, 1))[:num_images]

@@ -109,3 +109,25 @@ def init_train_state(
 
 def param_count(tree: Pytree) -> int:
     return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def inject_adam_moments(opt_state: Pytree, moments: Dict[str, Any]) -> Pytree:
+    """Insert imported torch Adam moments into an optax adam state.
+
+    optax.adam is chain(scale_by_adam, scale(-lr)); slot 0 carries
+    (count, mu, nu). torch's `step` counts completed updates and optax bias-
+    corrects with count+1 on the next update, so count=torch_step continues
+    with the exact update torch would take next (/root/reference/main.py:68-73
+    restores both optimizer state dicts; this is the optax equivalent)."""
+    inner = opt_state[0]
+    as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)  # noqa: E731
+    mu, nu = as_jnp(moments["mu"]), as_jnp(moments["nu"])
+    want = jax.tree.structure(inner.mu)
+    got = jax.tree.structure(mu)
+    if want != got:
+        raise ValueError(
+            "imported Adam moments do not match the optimizer pytree: "
+            f"expected {want}, got {got}")
+    inner = inner._replace(
+        count=jnp.asarray(moments["count"], inner.count.dtype), mu=mu, nu=nu)
+    return (inner,) + tuple(opt_state[1:])

@@ -19,7 +19,7 @@ needs it.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -142,12 +142,45 @@ def convert_discriminator_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return c.variables()
 
 
+# caffe layer names -> torchvision vgg16 module indices: the mapping
+# /root/reference/caffe2pytorchvgg16.py encodes by renaming the torchvision
+# Sequentials to caffe names before loading the caffemodel2pytorch h5 dump.
+_CAFFE_VGG16_LAYERS = {
+    "conv1_1": "features.0", "conv1_2": "features.2",
+    "conv2_1": "features.5", "conv2_2": "features.7",
+    "conv3_1": "features.10", "conv3_2": "features.12",
+    "conv3_3": "features.14",
+    "conv4_1": "features.17", "conv4_2": "features.19",
+    "conv4_3": "features.21",
+    "conv5_1": "features.24", "conv5_2": "features.26",
+    "conv5_3": "features.28",
+    "fc6": "classifier.0", "fc7": "classifier.3", "fc8a": "classifier.6",
+}
+
+
+def remap_caffe_vgg16_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """caffe-style keys (conv1_1.weight .. fc8a.bias, as produced by the
+    caffemodel2pytorch h5 dump in scripts/download_pretrained_vgg16.sh) ->
+    torchvision vgg16 keys (features.{i}./classifier.{i}.)."""
+    out: Dict[str, Any] = {}
+    for key, value in sd.items():
+        layer, _, tail = key.partition(".")
+        mapped = _CAFFE_VGG16_LAYERS.get(layer)
+        if mapped is None:
+            raise KeyError(f"unknown caffe VGG16 layer in key: {key}")
+        out[f"{mapped}.{tail}"] = value
+    return out
+
+
 def convert_vgg16_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """Reference VGG16 (or raw torchvision vgg16) state dict -> flax variables.
 
-    Accepts both the reference wrapper's `vgg16.features.*` prefix
-    (/root/reference/models.py:174-181) and bare `features.*` keys.
+    Accepts the reference wrapper's `vgg16.features.*` prefix
+    (/root/reference/models.py:174-181), bare `features.*` keys, and
+    caffe-style `conv1_1.*`..`fc8a.*` keys (auto-remapped).
     """
+    if any(k.startswith("conv1_1") for k in sd):
+        sd = remap_caffe_vgg16_keys(sd)
     params: Dict[str, Any] = {}
     prefix = "vgg16." if any(k.startswith("vgg16.") for k in sd) else ""
     conv_indices = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
@@ -163,6 +196,61 @@ def convert_vgg16_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params}
 
 
+_BUFFER_SUFFIXES = ("weight_u", "weight_v", "running_mean", "running_var",
+                    "num_batches_tracked")
+
+
+def _parameter_keys(model_sd: Mapping[str, Any]):
+    """Ordered *parameter* keys of a reference state dict.
+
+    torch's state_dict lists each module's parameters before its buffers and
+    recurses children in registration order — restricted to parameters that is
+    exactly the order `net.parameters()` yields, which is the order torch
+    Adam's param_groups ids follow (/root/reference/main.py:64-65). Buffers
+    (spectral u/v, BN running stats) are the only non-parameter entries in the
+    reference G/D state dicts.
+    """
+    return [k for k in model_sd if not k.endswith(_BUFFER_SUFFIXES)]
+
+
+def convert_adam_moments(opt_sd: Mapping[str, Any], model_sd: Mapping[str, Any],
+                         convert_fn) -> Optional[Dict[str, Any]]:
+    """torch Adam optimizer state dict -> optax-ready moment trees.
+
+    torch keys Adam slots by integer param ids in param_groups order
+    (= parameter order, see _parameter_keys); exp_avg / exp_avg_sq have the
+    parameters' own shapes, so substituting them for the weights in a copy of
+    the model state dict and running it through the SAME layout converter used
+    for the weights yields mu/nu pytrees that match the flax params pytree
+    leaf-for-leaf, transposes included.
+
+    Returns {"mu": params_tree, "nu": params_tree, "count": int}, or None when
+    the optimizer state is empty (fresh optimizer, nothing to import).
+    Ref: /root/reference/main.py:68-73, model_wrapper.py:215-223.
+    """
+    state = opt_sd.get("state") or {}
+    if not state:
+        return None
+    param_keys = _parameter_keys(model_sd)
+    order = [pid for group in opt_sd["param_groups"]
+             for pid in group["params"]]
+    if len(order) != len(param_keys):
+        raise ValueError(
+            f"optimizer state covers {len(order)} params but the model state "
+            f"dict has {len(param_keys)} parameters — not a matching "
+            "reference checkpoint")
+    mu_sd, nu_sd = dict(model_sd), dict(model_sd)
+    count = 0
+    for key, pid in zip(param_keys, order):
+        slot = state[pid]
+        mu_sd[key] = slot["exp_avg"]
+        nu_sd[key] = slot["exp_avg_sq"]
+        step = slot["step"]
+        count = int(step.item() if hasattr(step, "item") else step)
+    return {"mu": convert_fn(mu_sd)["params"],
+            "nu": convert_fn(nu_sd)["params"], "count": count}
+
+
 def load_torch_file(path: str) -> Mapping[str, Any]:
     """torch.load a `.pt` file; unwraps whole-module pickles
     (caffe2pytorchvgg16.py:21) into state dicts."""
@@ -174,12 +262,25 @@ def load_torch_file(path: str) -> Mapping[str, Any]:
     return obj
 
 
-def load_reference_gan_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+def load_reference_gan_checkpoint(
+        path: str, include_optimizer: bool = False) -> Tuple[Any, ...]:
     """Load a reference `checkpoint_XXX.pt` (model_wrapper.py:215-223) and
-    return (generator_variables, discriminator_variables)."""
+    return (generator_variables, discriminator_variables). With
+    `include_optimizer=True` also returns (g_moments, d_moments) — converted
+    Adam exp_avg/exp_avg_sq/step trees (None when the checkpoint's optimizer
+    state is empty), matching main.py:68-73's full optimizer restore."""
     ckpt = load_torch_file(path)
-    return (convert_generator_state_dict(ckpt["generator"]),
-            convert_discriminator_state_dict(ckpt["discriminator"]))
+    g_vars = convert_generator_state_dict(ckpt["generator"])
+    d_vars = convert_discriminator_state_dict(ckpt["discriminator"])
+    if not include_optimizer:
+        return g_vars, d_vars
+    g_moments = convert_adam_moments(
+        ckpt.get("generator_optimizer") or {}, ckpt["generator"],
+        convert_generator_state_dict)
+    d_moments = convert_adam_moments(
+        ckpt.get("discriminator_optimizer") or {}, ckpt["discriminator"],
+        convert_discriminator_state_dict)
+    return g_vars, d_vars, g_moments, d_moments
 
 
 # ---------------------------------------------------------------------------

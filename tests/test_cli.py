@@ -57,6 +57,30 @@ def test_generate_parser():
     assert args.levels == "0,3,6"
 
 
+def test_perf_mode_flags_thread_to_config():
+    """OPTIM.md's benched perf modes are CLI-reachable (VERDICT weak 5):
+    --fused_d / --canonical_projection / --remat_vgg / --remat_blocks."""
+    from semantic_pyramid_for_image_generation_tpu.cli.main import (
+        config_from_args,
+    )
+
+    parser = build_parser()
+    default = parser.parse_args([])
+    assert not default.fused_d and not default.canonical_projection
+    assert not default.remat_vgg and not default.remat_blocks
+    # parity-mode default: the reference's (B,B,128) quirk is preserved
+    assert config_from_args(default).compat_projection is True
+
+    perf = parser.parse_args(["--fused_d", "--remat_vgg", "--remat_blocks"])
+    cfg = config_from_args(perf)
+    assert cfg.compat_projection is False  # fused_d implies canonical head
+    assert cfg.remat_blocks is True
+    assert perf.remat_vgg is True
+
+    canon = parser.parse_args(["--canonical_projection"])
+    assert config_from_args(canon).compat_projection is False
+
+
 def test_config_mask_probability_threads():
     import dataclasses
 

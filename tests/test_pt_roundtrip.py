@@ -58,3 +58,110 @@ def test_discriminator_roundtrip(state):
     _trees_equal(variables["spectral"], back["spectral"])
     assert "embedding.weight_orig" in sd
     assert "layers.0.main_block.0.weight_orig" in sd
+
+
+@pytest.mark.slow
+def test_adam_moment_import_matches_torch_update():
+    """Resume-from-reference continues with identical updates
+    (/root/reference/main.py:68-73): populate torch Adam on the live reference
+    Discriminator, import weights + moments, then apply torch's own step-3
+    gradients through optax — parameter-for-parameter equality with torch's
+    step-3 result."""
+    import copy
+
+    import optax
+    import torch
+
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        inject_adam_moments,
+    )
+    from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+        convert_adam_moments,
+    )
+    from torch_ref import import_reference
+
+    ref_models = import_reference("models")
+    torch.manual_seed(0)
+    d_ref = ref_models.Discriminator(channel_factor=8)
+    d_ref.train()
+    lr = 1e-3
+    opt = torch.optim.Adam(d_ref.parameters(), lr=lr)
+    x = torch.randn(2, 3, 256, 256)
+    y = torch.eye(365)[torch.tensor([3, 42])]
+    for _ in range(2):  # populate exp_avg / exp_avg_sq / step
+        opt.zero_grad()
+        d_ref(x, y).mean().backward()
+        opt.step()
+    d_ref.eval()  # freeze spectral u/v so both sides see the same weights
+    sd2 = copy.deepcopy(d_ref.state_dict())
+    opt_sd = copy.deepcopy(opt.state_dict())
+
+    # torch step 3
+    opt.zero_grad()
+    d_ref(x, y).mean().backward()
+    grads = {name: p.grad.detach().clone()
+             for name, p in d_ref.named_parameters()}
+    opt.step()
+    sd3 = d_ref.state_dict()
+
+    # optax step 3 from the imported moments, using torch's own gradients
+    # (converted through the same layout converter as the weights)
+    params2 = convert_discriminator_state_dict(sd2)["params"]
+    moments = convert_adam_moments(opt_sd, sd2,
+                                   convert_discriminator_state_dict)
+    assert moments is not None and moments["count"] == 2
+    grads_sd = dict(sd2)
+    grads_sd.update(grads)
+    grad_tree = convert_discriminator_state_dict(grads_sd)["params"]
+
+    tx = optax.adam(lr)
+    opt_state = inject_adam_moments(tx.init(params2), moments)
+    updates, _ = tx.update(jax.tree.map(np.asarray, grad_tree), opt_state,
+                           params2)
+    new_params = optax.apply_updates(
+        jax.tree.map(np.asarray, params2), updates)
+    _trees_equal(new_params, convert_discriminator_state_dict(sd3)["params"])
+
+
+def test_caffe_vgg16_keys_convert_like_torchvision():
+    """The caffemodel2pytorch h5 dump uses caffe layer names; the converter
+    must remap them onto torchvision indices the way the reference's
+    caffe2pytorchvgg16.py named-Sequential load does."""
+    import torch
+
+    from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+        _CAFFE_VGG16_LAYERS,
+        convert_vgg16_state_dict,
+    )
+
+    torch.manual_seed(0)
+    conv_plan = {  # torchvision vgg16 conv indices -> (out, in)
+        0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128),
+        10: (256, 128), 12: (256, 256), 14: (256, 256),
+        17: (512, 256), 19: (512, 512), 21: (512, 512),
+        24: (512, 512), 26: (512, 512), 28: (512, 512),
+    }
+    fc_plan = {0: (4096, 25088), 3: (4096, 4096), 6: (365, 4096)}
+    tv_sd = {}
+    for i, (o, c) in conv_plan.items():
+        tv_sd[f"features.{i}.weight"] = torch.randn(o, c, 3, 3)
+        tv_sd[f"features.{i}.bias"] = torch.randn(o)
+    for i, (o, c) in fc_plan.items():
+        tv_sd[f"classifier.{i}.weight"] = torch.randn(o, c)
+        tv_sd[f"classifier.{i}.bias"] = torch.randn(o)
+    caffe_sd = {}
+    inverse = {v: k for k, v in _CAFFE_VGG16_LAYERS.items()}
+    for key, value in tv_sd.items():
+        module, _, tail = key.rpartition(".")
+        caffe_sd[f"{inverse[module]}.{tail}"] = value
+    _trees_equal(convert_vgg16_state_dict(caffe_sd)["params"],
+                 convert_vgg16_state_dict(tv_sd)["params"])
+
+
+def test_adam_moment_import_empty_state_is_none():
+    from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+        convert_adam_moments,
+    )
+
+    assert convert_adam_moments({"state": {}, "param_groups": []}, {},
+                                convert_discriminator_state_dict) is None
