@@ -73,7 +73,10 @@ class Generator(nn.Module):
         for i, (_cin, cout) in enumerate(cfg.generator_block_channels):
             feat = features[depth].astype(dtype)
             mask = masks[depth].astype(dtype)
-            masked = jnp.concatenate([feat * mask, mask], axis=-1)
+            # channel groups of the reference's cat([feat*mask, mask], dim=1)
+            # (models.py:94); SNConv sums per-group convs — same math, no
+            # (C+1)-channel concat materialized, MXU-clean channel counts
+            masked = (feat * mask, mask)
             x = block_cls(
                 in_channels=x.shape[-1], out_channels=cout,
                 num_classes=cfg.num_classes, dtype=dtype,

@@ -77,6 +77,13 @@ class SNConv(nn.Module, _SpectralMixin):
     The power iteration runs on the weight viewed as (out, in*kh*kw), matching
     torch's reshape of its OIHW kernel, so converted `.pt` checkpoints resume
     with identical sigma trajectories.
+
+    `x` may be a tuple of NHWC tensors treated as channel groups of one input
+    (i.e. conv(concat(xs))): the kernel param keeps the unified concat layout
+    (checkpoint-identical), but the conv runs as a sum of per-group convs.
+    For the generator's feature-injection convs this keeps the big group at a
+    clean 64/128/256/512 input-channel count for MXU lane tiling and never
+    materializes the (C+1)-channel concat (OPTIM.md lever 2).
     """
 
     features: int
@@ -87,8 +94,9 @@ class SNConv(nn.Module, _SpectralMixin):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(self, x, train: bool = True) -> jax.Array:
+        xs = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        in_ch = sum(t.shape[-1] for t in xs)
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", _xavier_uniform(), (kh, kw, in_ch, self.features), jnp.float32)
@@ -97,11 +105,18 @@ class SNConv(nn.Module, _SpectralMixin):
         sigma = self._spectral_scale(w2d, update=train)
         kernel = (kernel / sigma).astype(self.dtype)
         pad = [(self.padding, self.padding)] * 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel,
-            window_strides=self.strides, padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=matmul_precision(self.dtype))
+        prec = matmul_precision(self.dtype)
+        y = None
+        offset = 0
+        for t in xs:
+            c = t.shape[-1]
+            part = jax.lax.conv_general_dilated(
+                t.astype(self.dtype), kernel[:, :, offset:offset + c],
+                window_strides=self.strides, padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=prec)
+            y = part if y is None else y + part
+            offset += c
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,),
                               jnp.float32)
@@ -145,7 +160,13 @@ class SNEmbedding(nn.Module, _SpectralMixin):
             "embedding", nn.initializers.normal(stddev=1.0),
             (self.num_embeddings, self.features), jnp.float32)
         sigma = self._spectral_scale(table, update=train)
-        return jnp.take((table / sigma).astype(self.dtype), idx, axis=0)
+        # one-hot matmul row select: exact in fp32 (1.0*v + zeros), and its
+        # backward is a dense MXU matmul instead of a scatter, which XLA:TPU
+        # lowers to a ~1 ms serial while-loop over the batch (profiled)
+        onehot = jax.nn.one_hot(idx, self.num_embeddings, dtype=jnp.float32)
+        row = jnp.matmul(onehot, table / sigma,
+                         precision=jax.lax.Precision.HIGHEST)
+        return row.astype(self.dtype)
 
 
 class ConditionalBatchNorm(nn.Module):
@@ -191,8 +212,14 @@ class ConditionalBatchNorm(nn.Module):
 
         emb = self.param("embedding", init_embedding)
         idx = jnp.argmax(class_onehot, axis=-1)
-        scale = emb[idx, :c][:, None, None, :]
-        bias = emb[idx, c:][:, None, None, :]
+        # one-hot matmul row select (exact in fp32): the gather's backward is
+        # a scatter into the (365, 2C) table that XLA:TPU lowers to a serial
+        # 256-iteration while-loop (~1 ms each, ~30 per step profiled); the
+        # matmul backward is one dense MXU op
+        onehot = jax.nn.one_hot(idx, self.num_classes, dtype=jnp.float32)
+        row = jnp.matmul(onehot, emb, precision=jax.lax.Precision.HIGHEST)
+        scale = row[:, None, None, :c]
+        bias = row[:, None, None, c:]
         return (scale * y + bias).astype(self.dtype)
 
 
