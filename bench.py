@@ -76,7 +76,8 @@ def host_pipeline_bench(args) -> None:
                        per_class=max(16, args.batch_size // 2))
         ds = Places365(root, "train.txt", cfg)
         loader = Places365Loader(ds, batch_size=args.batch_size,
-                                 num_workers=args.num_workers, prefetch=2)
+                                 num_workers=args.num_workers, prefetch=2,
+                                 compact_feed=args.compact_feed)
 
         # --- loader-only throughput (host decode + masks + collate) --------
         for _ in loader:  # warm the page cache / thread pool
@@ -117,9 +118,11 @@ def host_pipeline_bench(args) -> None:
 
     n_chips = jax.device_count()
     per_chip = n_imgs / dt / n_chips
+    feed = "uint8" if args.compact_feed else "float32"
     print(json.dumps({
-        "metric": "images/sec/chip, 256x256 host-fed (JPEG decode + native "
-                  f"masks) train step; loader alone: {round(loader_rate, 1)}",
+        "metric": f"images/sec/chip, 256x256 host-fed ({feed} feed, JPEG "
+                  f"decode + native masks) train step; loader alone: "
+                  f"{round(loader_rate, 1)}",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
@@ -154,6 +157,12 @@ def main():
                              "tree + native mask/normalize kernels) instead "
                              "of the synthetic device-resident batch")
     parser.add_argument("--num_workers", type=int, default=16)
+    parser.add_argument("--compact-feed", dest="compact_feed",
+                        action="store_true", default=True,
+                        help="host-pipeline mode: uint8 images/masks, "
+                             "normalize on device (~4x fewer feed bytes)")
+    parser.add_argument("--float-feed", dest="compact_feed",
+                        action="store_false")
     args = parser.parse_args()
 
     if args.host_pipeline:

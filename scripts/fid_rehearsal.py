@@ -59,13 +59,10 @@ def main() -> int:
     # (The image has no torchvision/network; the executing torch mirror in
     # tests/torch_inception.py stands in for torchvision.models.inception_v3 —
     # identical architecture, parity-tested in tests/test_inception.py.)
-    import torch
+    from torch_inception import randomized_mirror
 
-    from torch_inception import TorchInception3
-
-    torch.manual_seed(0)
     inception_vars = convert_inception_state_dict(
-        TorchInception3().state_dict())
+        randomized_mirror(0).state_dict())
 
     cfg = PyramidGANConfig(compute_dtype=args.dtype)
     g_tx, d_tx = make_optimizers()

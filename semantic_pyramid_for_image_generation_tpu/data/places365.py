@@ -69,7 +69,7 @@ class Places365:
     def __len__(self) -> int:
         return len(self.file_paths)
 
-    def _load_image(self, path: str) -> np.ndarray:
+    def _load_image(self, path: str, raw_uint8: bool = False) -> np.ndarray:
         from PIL import Image
 
         size = self.config.image_size
@@ -77,6 +77,18 @@ class Places365:
             if img.size != (size, size):
                 img = img.resize((size, size), Image.BILINEAR)
             raw = np.asarray(img)
+        if raw_uint8 and raw.dtype == np.uint8:
+            # compact feed: ship uint8 HW3 (4x fewer host->device bytes);
+            # the jitted step min-max-normalizes on device (train/step.py::
+            # ensure_m11_images) — mathematically the [-1,1] result is
+            # identical (the /255 cancels in the min-max)
+            if raw.ndim == 2:
+                raw = raw[:, :, None]
+            if raw.shape[-1] == 1:
+                raw = np.repeat(raw, 3, axis=-1)
+            if raw.shape[-1] == 4:
+                raw = raw[:, :, :3]
+            return raw
         if raw.dtype == np.uint8:
             # native batched kernel: uint8 HWC -> float32 HW3 in [-1,1]
             # (grayscale broadcast + per-image min-max, data.py:46-56)
@@ -97,9 +109,9 @@ class Places365:
         return 2.0 * (arr - mn) / max(mx - mn, 1e-12) - 1.0
 
     def sample(self, index: int, rng: np.random.Generator,
-               with_masks: bool = True):
+               with_masks: bool = True, raw_uint8: bool = False):
         path = self.file_paths[index]
-        image = self._load_image(path)
+        image = self._load_image(path, raw_uint8=raw_uint8)
         label = np.zeros(self.config.num_classes, dtype=np.float32)
         label[self.label_dict[path.split("/")[1]] % self.config.num_classes] = 1.0
         if not with_masks:  # masks come from the native batched kernel
@@ -129,6 +141,7 @@ class Places365Loader:
         prefetch: int = 2,
         seed: int = 0,
         use_native_masks: Optional[bool] = None,
+        compact_feed: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -138,6 +151,9 @@ class Places365Loader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        # compact_feed: uint8 images + uint8 binary masks — ~4x fewer
+        # host->device bytes; the jitted step normalizes/casts on device
+        self.compact_feed = compact_feed
         if use_native_masks is None:  # auto: native batched kernel if built
             from semantic_pyramid_for_image_generation_tpu.data import native
 
@@ -155,6 +171,8 @@ class Places365Loader:
             masks = native_masks
         else:
             masks = self.dataset.schedule.batch([s[2] for s in samples])
+        if self.compact_feed:  # masks are binary; uint8 transfer is lossless
+            masks = [m.astype(np.uint8) for m in masks]
         return {"images": images, "labels": labels, "masks": tuple(masks)}
 
     def _native_masks(self, batch: int, batch_index: int, n_batches: int):
@@ -204,7 +222,8 @@ class Places365Loader:
                             for i in idx]
                     samples = list(pool.map(
                         self.dataset.sample, [int(i) for i in idx], rngs,
-                        [native_masks is None] * len(idx)))
+                        [native_masks is None] * len(idx),
+                        [self.compact_feed] * len(idx)))
                     if not put_or_stop(self._collate(samples, native_masks)):
                         return
             put_or_stop(None)

@@ -62,6 +62,12 @@ class _SpectralMixin:
 
         u_var = self.variable("spectral", "u", init_u)
         v_var = self.variable("spectral", "v", init_v)
+        if self.has_variable("sigmas", "sigma"):
+            # precomputed batched sigma pass (ops/spectral_norm.py::
+            # compute_sigma_tree): the train step computes every layer's
+            # sigma in a few stacked matmuls and advances u/v outside the
+            # apply — this inline path would serialize ~6 tiny ops per layer
+            return self.get_variable("sigmas", "sigma")
         do_update = update and not self.is_initializing()
         sigma, u_new, v_new = spectral_norm_weight(
             w2d, u_var.value, v_var.value, update=do_update)

@@ -39,6 +39,25 @@ from semantic_pyramid_for_image_generation_tpu.train.state import TrainState
 Batch = Dict[str, Any]  # images (B,H,W,C), labels (B,num_classes), masks: 7-tuple
 
 
+def ensure_m11_images(images: jax.Array) -> jax.Array:
+    """Device-side normalization for the compact uint8 feed
+    (Places365Loader(compact_feed=True)): per-image min-max to [-1,1],
+    mathematically identical to the host float path (data.py:53 semantics —
+    the /255 cancels in the min-max). Float batches pass through unchanged."""
+    if images.dtype != jnp.uint8:
+        return images
+    images = images.astype(jnp.float32)
+    flat = images.reshape(images.shape[0], -1)
+    mn = flat.min(axis=1)[:, None, None, None]
+    mx = flat.max(axis=1)[:, None, None, None]
+    return 2.0 * (images - mn) / jnp.maximum(mx - mn, 1e-12) - 1.0
+
+
+def _float_masks(masks) -> list:
+    return [m if jnp.issubdtype(m.dtype, jnp.floating)
+            else m.astype(jnp.float32) for m in masks]
+
+
 def make_train_step(
     generator,
     discriminator,
@@ -60,15 +79,24 @@ def make_train_step(
     fused_discriminator: perf mode — run D(real ++ fake) as one 2B-batch pass
     in the D phase (identical per-element math, one spectral advance instead
     of two). Requires compat_projection=False: the reference's (B,B,128)
-    broadcast quirk mixes batch rows and cannot be split blockwise."""
+    broadcast quirk mixes batch rows and cannot be split blockwise.
+
+    Spectral norm runs as a batched sigma pass per forward
+    (ops/spectral_norm.py::compute_sigma_tree): same per-layer math and u/v
+    trajectories as the inline module path, but ~10 stacked matmuls per net
+    instead of ~350 serialized tiny ops."""
     if fused_discriminator:
         assert not discriminator.config.compat_projection, (
             "fused_discriminator requires compat_projection=False")
 
+    from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
+        compute_sigma_tree,
+    )
+
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
-        images = batch["images"]
+        images = ensure_m11_images(batch["images"])
         labels = batch["labels"].astype(jnp.float32)
-        masks = list(batch["masks"])
+        masks = _float_masks(batch["masks"])
         latent_dim = generator.config.latent_dim
         b = images.shape[0]
         rng = jax.random.fold_in(rng, state.step)
@@ -80,31 +108,39 @@ def make_train_step(
 
         # ---- discriminator phase -----------------------------------------
         noise_d = jax.random.normal(rng_d, (b, latent_dim), jnp.float32)
+        g_sigmas_1, g_spectral = compute_sigma_tree(
+            state.g_params, state.g_spectral, update=True)
         fake_d, g_mut = generator.apply(
             {"params": state.g_params, "spectral": state.g_spectral,
-             "batch_stats": state.g_batch_stats},
+             "batch_stats": state.g_batch_stats, "sigmas": g_sigmas_1},
             noise_d, features_real, masks, labels, train=True,
-            mutable=["spectral", "batch_stats"])
+            mutable=["batch_stats"])
         fake_d = jax.lax.stop_gradient(fake_d)
-        g_spectral, g_batch_stats = g_mut["spectral"], g_mut["batch_stats"]
+        g_batch_stats = g_mut["batch_stats"]
 
         def d_loss_fn(d_params):
+            d_sigmas_1, d_spec_1 = compute_sigma_tree(
+                d_params, state.d_spectral, update=True)
             if fused_discriminator:
-                pred, mut = discriminator.apply(
-                    {"params": d_params, "spectral": state.d_spectral},
+                pred = discriminator.apply(
+                    {"params": d_params, "spectral": state.d_spectral,
+                     "sigmas": d_sigmas_1},
                     jnp.concatenate([images.astype(fake_d.dtype), fake_d], 0),
-                    jnp.concatenate([labels, labels], 0),
-                    train=True, mutable=["spectral"])
+                    jnp.concatenate([labels, labels], 0), train=True)
                 pred_real, pred_fake = pred[:b], pred[b:]
-                d_spectral_new = mut["spectral"]
+                d_spectral_new = d_spec_1
             else:
-                pred_real, mut1 = discriminator.apply(
-                    {"params": d_params, "spectral": state.d_spectral},
-                    images, labels, train=True, mutable=["spectral"])
-                pred_fake, mut2 = discriminator.apply(
-                    {"params": d_params, "spectral": mut1["spectral"]},
-                    fake_d, labels, train=True, mutable=["spectral"])
-                d_spectral_new = mut2["spectral"]
+                pred_real = discriminator.apply(
+                    {"params": d_params, "spectral": state.d_spectral,
+                     "sigmas": d_sigmas_1},
+                    images, labels, train=True)
+                d_sigmas_2, d_spec_2 = compute_sigma_tree(
+                    d_params, d_spec_1, update=True)
+                pred_fake = discriminator.apply(
+                    {"params": d_params, "spectral": d_spec_1,
+                     "sigmas": d_sigmas_2},
+                    fake_d, labels, train=True)
+                d_spectral_new = d_spec_2
             loss_real, loss_fake = lsgan_discriminator_loss(pred_real, pred_fake)
             return loss_real + loss_fake, (loss_real, loss_fake, d_spectral_new)
 
@@ -118,14 +154,19 @@ def make_train_step(
         noise_g = jax.random.normal(rng_g, (b, latent_dim), jnp.float32)
 
         def g_loss_fn(g_params):
+            g_sigmas_2, g_spec_2 = compute_sigma_tree(
+                g_params, g_spectral, update=True)
             fake, g_mut2 = generator.apply(
                 {"params": g_params, "spectral": g_spectral,
-                 "batch_stats": g_batch_stats},
+                 "batch_stats": g_batch_stats, "sigmas": g_sigmas_2},
                 noise_g, features_real, masks, labels, train=True,
-                mutable=["spectral", "batch_stats"])
-            pred_fake, d_mut3 = discriminator.apply(
-                {"params": d_params, "spectral": d_spectral},
-                fake, labels, train=True, mutable=["spectral"])
+                mutable=["batch_stats"])
+            d_sigmas_3, d_spec_3 = compute_sigma_tree(
+                d_params, d_spectral, update=True)
+            pred_fake = discriminator.apply(
+                {"params": d_params, "spectral": d_spectral,
+                 "sigmas": d_sigmas_3},
+                fake, labels, train=True)
             loss_g = lsgan_generator_loss(pred_fake)
             loss_div = w_div * diversity_loss(fake, noise_g)
             vgg_fwd = lambda img: vgg.apply(  # noqa: E731
@@ -137,8 +178,7 @@ def make_train_step(
                 features_real, features_fake, masks)
             total = loss_g + loss_div + loss_rec
             aux = (loss_g, loss_div, loss_rec,
-                   g_mut2["spectral"], g_mut2["batch_stats"],
-                   d_mut3["spectral"])
+                   g_spec_2, g_mut2["batch_stats"], d_spec_3)
             return total, aux
 
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
@@ -172,16 +212,22 @@ def make_generate_fn(generator, vgg):
     """Jitted eval-mode sampler: (state, images, masks, labels, rng) -> fakes.
     Mirrors the validation/inference generation path
     (/root/reference/frechet_inception_distance.py:82-90)."""
+    from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
+        compute_sigma_tree,
+    )
 
     @jax.jit
     def generate(state: TrainState, images, masks, labels, rng):
+        images = ensure_m11_images(images)
         features = vgg.apply({"params": state.vgg_params}, images)
         noise = jax.random.normal(
             rng, (images.shape[0], generator.config.latent_dim), jnp.float32)
+        sigmas, _ = compute_sigma_tree(
+            state.g_params, state.g_spectral, update=False)
         return generator.apply(
             {"params": state.g_params, "spectral": state.g_spectral,
-             "batch_stats": state.g_batch_stats},
-            noise, features, list(masks), labels.astype(jnp.float32),
+             "batch_stats": state.g_batch_stats, "sigmas": sigmas},
+            noise, features, _float_masks(masks), labels.astype(jnp.float32),
             train=False)
 
     return generate

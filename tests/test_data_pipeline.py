@@ -117,6 +117,28 @@ def test_loader_native_masks_on_production_path(dataset_root):
     np.testing.assert_array_equal(batch["labels"], batch_np["labels"])
 
 
+def test_compact_feed_matches_float_feed(dataset_root):
+    """uint8 feed + device-side normalize == float feed (the /255 cancels in
+    the per-image min-max); masks are binary so uint8 is lossless."""
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        ensure_m11_images,
+    )
+
+    ds = Places365(dataset_root, "train.txt", CFG)
+    f32 = next(iter(Places365Loader(ds, batch_size=4, num_workers=2, seed=5,
+                                    shuffle=False)))
+    u8 = next(iter(Places365Loader(ds, batch_size=4, num_workers=2, seed=5,
+                                   shuffle=False, compact_feed=True)))
+    assert u8["images"].dtype == np.uint8
+    assert all(m.dtype == np.uint8 for m in u8["masks"])
+    import jax.numpy as jnp
+
+    normalized = np.asarray(ensure_m11_images(jnp.asarray(u8["images"])))
+    np.testing.assert_allclose(normalized, f32["images"], atol=1e-5)
+    for a, b in zip(u8["masks"], f32["masks"]):
+        np.testing.assert_array_equal(a.astype(np.float32), b)
+
+
 def test_max_length_subset_seeded(dataset_root):
     a = Places365(dataset_root, "train.txt", CFG, max_length=5, seed=7)
     b = Places365(dataset_root, "train.txt", CFG, max_length=5, seed=7)

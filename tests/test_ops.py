@@ -153,3 +153,67 @@ class TestAvgPoolCustomVJP:
         g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(ref(x))))(x)
         np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
                                    atol=1e-6)
+
+
+class TestBatchedSigmaPass:
+    """compute_sigma_tree must reproduce the inline per-layer spectral path
+    exactly: same sigmas (same outputs) and same u/v trajectories — it is the
+    train step's production path (train/step.py)."""
+
+    def test_matches_inline_on_discriminator(self):
+        from semantic_pyramid_for_image_generation_tpu.config import (
+            PyramidGANConfig,
+        )
+        from semantic_pyramid_for_image_generation_tpu.models import (
+            Discriminator,
+        )
+        from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
+            compute_sigma_tree,
+        )
+
+        cfg = PyramidGANConfig().tiny()
+        disc = Discriminator(cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(
+            (2, cfg.image_size, cfg.image_size, 3)).astype(np.float32))
+        y = jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[[1, 5]])
+        variables = disc.init(jax.random.key(0), x, y, train=False)
+        params, spectral = variables["params"], variables["spectral"]
+
+        out_inline, mut = disc.apply(
+            {"params": params, "spectral": spectral}, x, y, train=True,
+            mutable=["spectral"])
+        sigmas, new_spectral = compute_sigma_tree(params, spectral,
+                                                  update=True)
+        out_batched = disc.apply(
+            {"params": params, "spectral": spectral, "sigmas": sigmas},
+            x, y, train=True)
+        np.testing.assert_allclose(np.asarray(out_inline),
+                                   np.asarray(out_batched), atol=1e-5)
+        flat_a = jax.tree_util.tree_leaves_with_path(mut["spectral"])
+        flat_b = {jax.tree_util.keystr(k): v for k, v in
+                  jax.tree_util.tree_leaves_with_path(new_spectral)}
+        assert len(flat_a) == len(flat_b)
+        for path, leaf in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_b[jax.tree_util.keystr(path)]),
+                atol=1e-6, err_msg=jax.tree_util.keystr(path))
+
+    def test_eval_mode_no_update(self):
+        from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
+            compute_sigma_tree,
+            spectral_norm_weight,
+        )
+
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32))
+        u = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+        params = {"layer": {"kernel": w.T}}  # dense: (in, out) -> w2d = W
+        spectral = {"layer": {"u": u, "v": v}}
+        sigmas, new_spec = compute_sigma_tree(params, spectral, update=False)
+        sigma_ref, u_ref, v_ref = spectral_norm_weight(w, u, v, update=False)
+        np.testing.assert_allclose(float(sigmas["layer"]["sigma"]),
+                                   float(sigma_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_spec["layer"]["u"]),
+                                   np.asarray(u_ref), atol=1e-6)
