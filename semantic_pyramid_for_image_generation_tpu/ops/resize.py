@@ -72,7 +72,15 @@ def _apply_separable(x: jax.Array, a_h: np.ndarray, a_w: np.ndarray) -> jax.Arra
 
 
 def upsample_bilinear_align_corners(x: jax.Array, scale: int = 2) -> jax.Array:
-    """`nn.UpsamplingBilinear2d(scale_factor=scale)` on NHWC input."""
+    """`nn.UpsamplingBilinear2d(scale_factor=scale)` on NHWC input.
+
+    Stays on the einsum pair: the fused Pallas kernel
+    (ops/pallas/resize.py) is ~17% faster fwd+bwd in ISOLATION at
+    128-multiple-channel generator shapes, but inside the full train step it
+    is a fusion barrier (XLA can no longer fuse the surrounding CBN/lrelu
+    elementwise work into the interp matmuls) and costs ~5% end-to-end
+    (207 -> 196 img/s measured at batch 128). Kept as a standalone op.
+    """
     _, h, w, _ = x.shape
     return _apply_separable(
         x,

@@ -60,3 +60,34 @@ def test_evaluator_end_to_end_random_inception(rng):
     batches = [{"images": jnp.asarray(images)}]
     fid = ev.fid(batches, lambda b: b["images"])
     assert abs(fid) < 1e-2
+
+
+def test_streaming_moments_match_direct_activations(rng):
+    """The on-device moment accumulation (FIDEvaluator.fid) must match
+    collecting all activations and running np.mean/np.cov (fid.py:103-108
+    semantics), including masked remainder batches."""
+    import warnings
+
+    from semantic_pyramid_for_image_generation_tpu.eval.fid import (
+        fid_from_activations,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ev = FIDEvaluator()
+    images = rng.uniform(-1, 1, (12, 64, 64, 3)).astype(np.float32)
+    fakes = rng.uniform(-1, 1, (12, 64, 64, 3)).astype(np.float32)
+    batches = [
+        {"images": jnp.asarray(images[:8]), "fakes": jnp.asarray(fakes[:8])},
+        # padded remainder batch: rows past num_valid must be ignored
+        {"images": jnp.asarray(np.concatenate([images[8:], images[:4]], 0)),
+         "fakes": jnp.asarray(np.concatenate([fakes[8:], fakes[:4]], 0)),
+         "num_valid": 4},
+    ]
+    got = ev.fid(batches, lambda b: b["fakes"])
+    want = fid_from_activations(
+        np.concatenate([ev.activations(jnp.asarray(images[:8])),
+                        ev.activations(jnp.asarray(images[8:]))]),
+        np.concatenate([ev.activations(jnp.asarray(fakes[:8])),
+                        ev.activations(jnp.asarray(fakes[8:]))]))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
