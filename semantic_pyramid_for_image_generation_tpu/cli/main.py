@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact_feed", default=False, action="store_true",
                    help="feed uint8 images/masks and normalize on device "
                         "(~4x fewer host->device bytes per batch)")
+    p.add_argument("--tensorboard", default=False, action="store_true",
+                   help="also stream metrics to TensorBoard under "
+                        "<metrics dir>/tensorboard")
     p.add_argument("--multihost", default=False, action="store_true",
                    help="initialize the JAX distributed runtime (multi-host "
                         "pods; single-host pods need no flag)")
@@ -168,6 +171,7 @@ def main(argv=None) -> int:
         save_data_path=args.save_data_path,
         use_pallas_attention=args.pallas and jax.default_backend() == "tpu",
         remat_vgg=args.remat_vgg, fused_discriminator=args.fused_d,
+        tensorboard=args.tensorboard,
         g_variables=g_variables, d_variables=d_variables,
         vgg_variables=vgg_variables,
         inception_variables=inception_variables)

@@ -73,6 +73,7 @@ class Trainer:
         use_mesh: bool = True,
         remat_vgg: bool = False,
         fused_discriminator: bool = False,
+        tensorboard: bool = False,
         seed: int = 0,
         state: Optional[TrainState] = None,
         inception_variables=None,
@@ -106,8 +107,10 @@ class Trainer:
         self.seed = seed
         self.rng = jax.random.key(seed + 1)
         self._inference_batch: Optional[Dict[str, Any]] = None
-        self.logger = Logger()
         self.paths = make_run_dirs(save_data_path)
+        self.logger = Logger(
+            tensorboard_dir=os.path.join(self.paths["metrics"], "tensorboard")
+            if tensorboard else None)
         self.samples_seen = 0
         self.logger.hyperparameter.update({
             "generator_params": str(param_count(self.state.g_params)),

@@ -17,12 +17,23 @@ from typing import Dict, List
 
 
 class Logger:
-    def __init__(self) -> None:
+    def __init__(self, tensorboard_dir: str | None = None) -> None:
         self.metrics: Dict[str, List[float]] = {}
         self.hyperparameter: Dict[str, str] = {}
+        self._tb = None
+        if tensorboard_dir is not None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except ImportError:  # tensorboard is optional
+                pass
 
     def log(self, metric_name: str, value: float) -> None:
-        self.metrics.setdefault(metric_name, []).append(float(value))
+        values = self.metrics.setdefault(metric_name, [])
+        values.append(float(value))
+        if self._tb is not None:
+            self._tb.add_scalar(metric_name, float(value), len(values))
 
     def save_metrics(self, path: str) -> None:
         import numpy as np
@@ -42,8 +53,10 @@ class Logger:
 
 
 def make_run_dirs(save_data_path: str = "saved_data"):
-    """Timestamped models/plots/metrics dirs (model_wrapper.py:72-81)."""
-    stamp = str(datetime.now())
+    """Timestamped models/plots/metrics dirs (model_wrapper.py:72-81).
+    Shell-friendly stamp (no spaces/colons, unlike the reference's
+    str(datetime.now()))."""
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S.%f")
     paths = {
         kind: os.path.join(save_data_path, f"{kind}_{stamp}")
         for kind in ("models", "plots", "metrics")
