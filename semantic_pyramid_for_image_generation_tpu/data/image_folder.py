@@ -92,22 +92,41 @@ class ImageFolderLoader:
         flips = (rng.random(len(order)) < 0.5) if self.random_flip \
             else np.zeros(len(order), bool)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            # stop-aware bounded put — an abandoned iterator would otherwise
+            # leave this thread blocked on the full queue forever (same fix
+            # as Places365Loader)
+            while True:
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for b in range(n_batches):
+                    if stop.is_set():
+                        return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
                     samples = list(pool.map(
                         self.dataset.load, [int(i) for i in idx],
                         [bool(flips[i]) for i in idx]))
                     images = np.stack([s[0] for s in samples])
                     labels = np.asarray([s[1] for s in samples], np.int32)
-                    out_q.put((images, labels))
-            out_q.put(None)
+                    if not put_or_stop((images, labels)):
+                        return
+            put_or_stop(None)
 
         threading.Thread(target=produce, daemon=True).start()
-        while True:
-            item = out_q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
