@@ -61,8 +61,10 @@ def main(argv=None) -> int:
             {"params": state.g_params, "spectral": state.g_spectral,
              "batch_stats": state.g_batch_stats},
             {"params": state.d_params, "spectral": state.d_spectral,
-             "batch_stats": {}})
-        print(f"wrote reference-format checkpoint {args.dst}")
+             "batch_stats": {}},
+            g_opt_state=state.g_opt_state, d_opt_state=state.d_opt_state)
+        print(f"wrote reference-format checkpoint {args.dst} "
+              "(with Adam moments)")
     else:  # vgg-pt
         from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
             convert_vgg16_state_dict,

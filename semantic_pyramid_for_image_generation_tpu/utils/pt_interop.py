@@ -396,14 +396,67 @@ def export_discriminator_state_dict(variables: Mapping[str, Any]) -> Dict[str, A
     return e.sd
 
 
-def save_reference_gan_checkpoint(path: str, generator_variables,
-                                  discriminator_variables) -> None:
-    """Write a reference-format checkpoint_XXX.pt
-    (model_wrapper.py:215-223 layout; optimizer slots empty)."""
+def export_adam_state_dict(variables_mu: Mapping[str, Any],
+                           variables_nu: Mapping[str, Any],
+                           count: int, export_fn, lr: float = 1e-5) -> Dict[str, Any]:
+    """optax Adam moments -> a torch Adam optimizer state dict.
+
+    Inverse of convert_adam_moments: the mu/nu pytrees (shaped like the
+    params) run through the SAME layout exporter as the weights, then the
+    parameter-order keys become torch's integer param ids. `variables_*`
+    carry the moment trees in the "params" slot (spectral/batch_stats only
+    supply the exporter's buffer keys, which are dropped here).
+    Ref: /root/reference/main.py:64-73 (Adam(params, lr), full restore)."""
     import torch
+
+    sd_mu = export_fn(variables_mu)
+    sd_nu = export_fn(variables_nu)
+    keys = _parameter_keys(sd_mu)
+    state = {
+        i: {"step": torch.tensor(float(count)),
+            "exp_avg": sd_mu[k], "exp_avg_sq": sd_nu[k]}
+        for i, k in enumerate(keys)
+    }
+    param_groups = [{
+        "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0,
+        "amsgrad": False, "maximize": False, "foreach": None,
+        "capturable": False, "differentiable": False, "fused": None,
+        "params": list(range(len(keys))),
+    }]
+    return {"state": state, "param_groups": param_groups}
+
+
+def _adam_moments_from_opt_state(opt_state):
+    """(mu, nu, count) out of an optax.adam state (chain slot 0)."""
+    inner = opt_state[0]
+    return inner.mu, inner.nu, int(inner.count)
+
+
+def save_reference_gan_checkpoint(path: str, generator_variables,
+                                  discriminator_variables,
+                                  g_opt_state=None, d_opt_state=None,
+                                  lr: float = 1e-5) -> None:
+    """Write a reference-format checkpoint_XXX.pt
+    (model_wrapper.py:215-223 layout). When the optax Adam states are given,
+    the optimizer slots carry converted torch Adam moments, so the reference
+    resumes with identical updates; otherwise they are empty."""
+    import torch
+
+    def adam_sd(opt_state, variables, export_fn):
+        if opt_state is None:
+            return {}
+        mu, nu, count = _adam_moments_from_opt_state(opt_state)
+        aux = {k: v for k, v in variables.items() if k != "params"}
+        return export_adam_state_dict(
+            {"params": mu, **aux}, {"params": nu, **aux}, count, export_fn,
+            lr=lr)
 
     torch.save(
         {"generator": export_generator_state_dict(generator_variables),
          "discriminator": export_discriminator_state_dict(
              discriminator_variables),
-         "generator_optimizer": {}, "discriminator_optimizer": {}}, path)
+         "generator_optimizer": adam_sd(
+             g_opt_state, generator_variables, export_generator_state_dict),
+         "discriminator_optimizer": adam_sd(
+             d_opt_state, discriminator_variables,
+             export_discriminator_state_dict)}, path)

@@ -139,6 +139,40 @@ def test_compact_feed_matches_float_feed(dataset_root):
         np.testing.assert_array_equal(a.astype(np.float32), b)
 
 
+@pytest.mark.slow
+def test_train_step_accepts_compact_feed(dataset_root):
+    """One fused train step on a uint8 compact-feed batch produces the same
+    losses as the float-feed batch (device-side normalize, mask cast)."""
+    import jax
+
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state,
+        make_models,
+        make_optimizers,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        make_train_step,
+    )
+
+    # the generator requires the 256 contract; tiny() shrinks widths only
+    cfg256 = PyramidGANConfig().tiny()
+    ds = Places365(dataset_root, "train.txt", cfg256)
+    f32 = next(iter(Places365Loader(ds, batch_size=4, num_workers=2, seed=9,
+                                    shuffle=False)))
+    u8 = next(iter(Places365Loader(ds, batch_size=4, num_workers=2, seed=9,
+                                   shuffle=False, compact_feed=True)))
+    g_tx, d_tx = make_optimizers()
+    state = init_train_state(jax.random.key(0), cfg256, g_tx, d_tx)
+    step = make_train_step(*make_models(cfg256), g_tx, d_tx, donate=False)
+    import jax.numpy as jnp
+
+    _, m_f32 = step(state, jax.tree.map(jnp.asarray, f32), jax.random.key(1))
+    _, m_u8 = step(state, jax.tree.map(jnp.asarray, u8), jax.random.key(1))
+    for k in m_f32:
+        np.testing.assert_allclose(float(m_u8[k]), float(m_f32[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
 def test_max_length_subset_seeded(dataset_root):
     a = Places365(dataset_root, "train.txt", CFG, max_length=5, seed=7)
     b = Places365(dataset_root, "train.txt", CFG, max_length=5, seed=7)

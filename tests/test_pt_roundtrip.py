@@ -158,6 +158,43 @@ def test_caffe_vgg16_keys_convert_like_torchvision():
                  convert_vgg16_state_dict(tv_sd)["params"])
 
 
+def test_adam_moment_export_roundtrip(state):
+    """Export optax Adam moments to a torch optimizer state dict and import
+    them back: mu/nu/count must survive exactly, and a genuine torch Adam on
+    the live reference Discriminator must accept the exported dict."""
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+        convert_adam_moments,
+        export_adam_state_dict,
+    )
+    from torch_ref import import_reference
+
+    variables = {"params": state.d_params, "spectral": state.d_spectral}
+    # synthetic non-trivial moments shaped like the params
+    mu = jax.tree.map(lambda x: 0.01 * jnp.asarray(x), state.d_params)
+    nu = jax.tree.map(lambda x: jnp.square(jnp.asarray(x)), state.d_params)
+    sd_model = export_discriminator_state_dict(variables)
+    opt_sd = export_adam_state_dict(
+        {"params": mu, "spectral": state.d_spectral},
+        {"params": nu, "spectral": state.d_spectral},
+        count=7, export_fn=export_discriminator_state_dict)
+    back = convert_adam_moments(opt_sd, sd_model,
+                                convert_discriminator_state_dict)
+    assert back is not None and back["count"] == 7
+    _trees_equal(mu, back["mu"])
+    _trees_equal(nu, back["nu"])
+    # torch accepts the exported dict on a real Adam over the live reference
+    ref_models = import_reference("models")
+    d_ref = ref_models.Discriminator(channel_factor=8)
+    d_ref.load_state_dict(sd_model)
+    opt = torch.optim.Adam(d_ref.parameters(), lr=1e-5)
+    opt.load_state_dict(opt_sd)
+    assert len(opt.state) == len(opt_sd["state"])
+
+
 def test_adam_moment_import_empty_state_is_none():
     from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
         convert_adam_moments,
