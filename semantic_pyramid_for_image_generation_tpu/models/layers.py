@@ -110,6 +110,16 @@ class SNConv(nn.Module, _SpectralMixin):
         w2d = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
         sigma = self._spectral_scale(w2d, update=train)
         kernel = (kernel / sigma).astype(self.dtype)
+        if in_ch < 8 and len(xs) == 1:
+            # zero-pad sub-8-channel inputs (RGB image convs): identical math
+            # (0 * k contributes nothing, fp-exact). In isolation the padded
+            # backward-to-input conv is ~20% faster (the 3-channel image-grad
+            # convs were the largest single-op wastes in the step profile);
+            # end-to-end it measures neutral at batch 128 — kept because it
+            # can only help tiling and costs one fused pad
+            grow = 8 - in_ch
+            xs = (jnp.pad(xs[0], ((0, 0), (0, 0), (0, 0), (0, grow))),)
+            kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, grow), (0, 0)))
         pad = [(self.padding, self.padding)] * 2
         prec = matmul_precision(self.dtype)
         y = None

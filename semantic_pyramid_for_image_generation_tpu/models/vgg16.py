@@ -41,6 +41,37 @@ _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+class _InputConv(nn.Module):
+    """First VGG conv with the RGB input zero-padded to 8 channels.
+
+    Identical math (zero channels contribute nothing; the padded kernel rows
+    are zeros), same param pytree as nn.Conv ({kernel, bias}, so `.pt`
+    conversion is unchanged), but the backward-to-input conv — the gradient
+    into the generated images — tiles far better than a 3-channel one (the
+    single largest op waste in the step profile, ~7 ms at batch 128)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        grow = max(0, 8 - in_ch)
+        kp = kernel.astype(self.dtype)
+        if grow:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, grow)))
+            kp = jnp.pad(kp, ((0, 0), (0, 0), (0, grow), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=matmul_precision(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class VGG16(nn.Module):
     config: PyramidGANConfig = PyramidGANConfig()
     return_output: bool = False
@@ -69,10 +100,14 @@ class VGG16(nn.Module):
                 features.append(x)
             else:
                 idx, ch = item
-                x = nn.Conv(
-                    ch // f, (3, 3), padding=1, dtype=dtype,
-                    precision=matmul_precision(dtype),
-                    name=f"features_{idx}")(x)
+                if idx == 0:
+                    x = _InputConv(ch // f, dtype=dtype,
+                                   name="features_0")(x)
+                else:
+                    x = nn.Conv(
+                        ch // f, (3, 3), padding=1, dtype=dtype,
+                        precision=matmul_precision(dtype),
+                        name=f"features_{idx}")(x)
                 x = nn.relu(x)
 
         x = adaptive_avg_pool_2d(x, 7, 7)
