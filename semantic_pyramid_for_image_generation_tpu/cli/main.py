@@ -43,13 +43,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w_rec", type=float, default=0.1)
     p.add_argument("--w_div", type=float, default=0.1)
     p.add_argument("--validate_after_n_iterations", type=int, default=100_000)
+    p.add_argument("--log_every", type=int, default=50,
+                   help="fetch step metrics in one device_get every N steps "
+                        "(1 = reference's per-iteration sync; larger keeps "
+                        "the host off the step critical path)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
-    p.add_argument("--pallas", default=True, action="store_true")
-    p.add_argument("--no-pallas", dest="pallas", action="store_false")
+    p.add_argument("--pallas", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="fused Pallas attention kernel on TPU")
     p.add_argument("--save_data_path", type=str, default="saved_data")
     p.add_argument("--load_inception", type=str, default=None,
-                   help="torchvision inception_v3 .pt state dict for FID")
+                   help="torchvision inception_v3 .pt state dict for FID "
+                        "(scripts/download_inception.sh)")
+    p.add_argument("--allow_random_fid", default=False, action="store_true",
+                   help="permit FID with a RANDOMLY initialized Inception "
+                        "backbone (pipeline smoke only — the number is not a "
+                        "standard FID); without this flag, --test/validation "
+                        "requires --load_inception")
     p.add_argument("--fid_images", type=int, default=6000)
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--vgg_width_factor", type=int, default=1,
@@ -174,7 +185,8 @@ def main(argv=None) -> int:
         tensorboard=args.tensorboard,
         g_variables=g_variables, d_variables=d_variables,
         vgg_variables=vgg_variables,
-        inception_variables=inception_variables)
+        inception_variables=inception_variables,
+        allow_random_fid=args.allow_random_fid)
 
     if g_moments is not None or d_moments is not None:
         trainer.import_adam_moments(g_moments, d_moments)
@@ -195,7 +207,8 @@ def main(argv=None) -> int:
 
     if args.train:
         trainer.train(epochs=args.epochs,
-                      validate_after_n_iterations=args.validate_after_n_iterations)
+                      validate_after_n_iterations=args.validate_after_n_iterations,
+                      log_every=args.log_every)
     if args.test:
         print("FID=", trainer.validate())
         trainer.inference()

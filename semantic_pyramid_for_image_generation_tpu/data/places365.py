@@ -74,6 +74,14 @@ class Places365:
 
         size = self.config.image_size
         with Image.open(os.path.join(self.root, path)) as img:
+            if raw_uint8 and img.mode not in ("RGB", "L", "RGBA"):
+                # compact-feed batches must be homogeneously uint8: a 16/32-bit
+                # source (mode I/I;16/F) would otherwise fall through to the
+                # float path and np.stack would silently promote the whole
+                # batch to float32, skipping the device-side normalization for
+                # its uint8 members. PIL's RGB conversion clips exotic depths
+                # to 8 bits; the per-image min-max makes absolute scale moot.
+                img = img.convert("RGB")
             if img.size != (size, size):
                 img = img.resize((size, size), Image.BILINEAR)
             raw = np.asarray(img)

@@ -68,7 +68,13 @@ def fid_from_activations(real: np.ndarray, fake: np.ndarray) -> float:
 
 def statistics_from_moments(n: float, s1: np.ndarray, s2: np.ndarray):
     """(count, sum, sum-of-outer-products) -> (mu, unbiased covariance);
-    identical to np.mean/np.cov(rowvar=False) up to float association."""
+    identical to np.mean/np.cov(rowvar=False) up to float association.
+
+    The single-pass cancellation (s2 - n mu mu^T) is done in float64 on host
+    (free at 2048^2 scale) — in f32 it can measurably perturb FID at 10k
+    samples, where np.cov would have used f64."""
+    s1 = np.asarray(s1, np.float64)
+    s2 = np.asarray(s2, np.float64)
     mu = s1 / n
     cov = (s2 - n * np.outer(mu, mu)) / max(n - 1.0, 1.0)
     return mu, cov
@@ -77,16 +83,28 @@ def statistics_from_moments(n: float, s1: np.ndarray, s2: np.ndarray):
 class FIDEvaluator:
     """Batched FID evaluation driver.
 
-    `inception_variables=None` initializes the backbone randomly — the pipeline
-    stays exercisable without the torchvision weight file; pass converted
-    weights (models.inception.convert_inception_state_dict) for standard FID.
+    `inception_variables=None` initializes the backbone randomly — the
+    reported value is then NOT a standard FID, so construction *raises*
+    unless `allow_random=True` is passed explicitly (pipeline-smoke runs,
+    tests). Pass converted torchvision inception_v3 weights
+    (models.inception.convert_inception_state_dict; see
+    scripts/download_inception.sh) for standard FID — the reference gets this
+    implicitly from `pretrained=True`
+    (/root/reference/frechet_inception_distance.py:22).
     """
 
     def __init__(self, inception_variables: Optional[Dict[str, Any]] = None,
-                 dtype: str = "float32"):
+                 dtype: str = "float32", allow_random: bool = False):
         self.model = InceptionV3Features(dtype=jnp.dtype(dtype))
         self.random_init = inception_variables is None
         if inception_variables is None:
+            if not allow_random:
+                raise ValueError(
+                    "FIDEvaluator requires pretrained Inception weights for a "
+                    "standard FID (--load_inception, see scripts/"
+                    "download_inception.sh). Pass allow_random=True (CLI: "
+                    "--allow_random_fid) to run with a randomly initialized "
+                    "backbone — pipeline smoke only, NOT a comparable FID.")
             import warnings
 
             warnings.warn(
@@ -128,6 +146,100 @@ class FIDEvaluator:
 
     def activations(self, images: jax.Array) -> np.ndarray:
         return np.asarray(self._activations(self.variables, images))
+
+    def _scan_moments_fn(self, generate):
+        """Build the jitted whole-group moment pass: ONE dispatch walks a
+        stacked group of batches with lax.scan, generating fakes and
+        accumulating real+fake (sum, sum-of-outer-products) on device.
+        `generate(state, batch, key) -> fakes`. Measured on the relay-attached
+        dev chip: FID-10k in 19.8 s vs ~60 s for 2-dispatches-per-batch
+        streaming (OPTIM.md FID table, scripts/fid_rehearsal.py)."""
+
+        @jax.jit
+        def scan_moments(variables, state, stacked, keys, num_valid):
+            def body(carry, inp):
+                batch, key, nv = inp
+                fakes = generate(state, batch, key)
+                m_r = self._moments(variables, batch["images"], nv)
+                m_f = self._moments(variables, fakes, nv)
+                s1r, s2r, s1f, s2f = carry
+                return (s1r + m_r[0], s2r + m_r[1],
+                        s1f + m_f[0], s2f + m_f[1]), None
+
+            dim = 2048
+            zeros = (jnp.zeros((dim,)), jnp.zeros((dim, dim)),
+                     jnp.zeros((dim,)), jnp.zeros((dim, dim)))
+            carry, _ = jax.lax.scan(body, zeros, (stacked, keys, num_valid))
+            return carry
+
+        return scan_moments
+
+    def fid_scan(self,
+                 real_batches: Iterable[Any],
+                 generate: Callable[[Any, Any, jax.Array], jax.Array],
+                 state: Any,
+                 rng: jax.Array,
+                 group: int = 16) -> float:
+        """FID over `real_batches` in O(n_batches / group) dispatches: batches
+        are staged into device-resident groups of `group`, each walked by one
+        compiled lax.scan (design rule from OPTIM.md: on a relay-class host a
+        dispatch costs seconds, so eval loops must be packaged as scans).
+
+        Numerically identical to the streaming `fid` path up to float
+        association (test_fid.py proves it). Ragged batches are padded to the
+        first batch's size with `num_valid` masking; a trailing partial group
+        is padded with num_valid=0 batches so every dispatch reuses the same
+        compiled program."""
+        scan_moments = self._scan_moments_fn(generate)
+        totals = None
+        n_total = 0
+        pending: list = []
+        batch_size = None
+
+        def pad_rows(batch, size):
+            n = int(batch.get("num_valid", batch["images"].shape[0]))
+            batch = {k: v for k, v in batch.items() if k != "num_valid"}
+            rows = batch["images"].shape[0]
+            if rows < size:
+                batch = jax.tree.map(
+                    lambda x: np.concatenate(
+                        [np.asarray(x)] +
+                        [np.asarray(x[:1])] * (size - rows), 0), batch)
+            return batch, n
+
+        def flush(chunk):
+            nonlocal totals
+            # reuse one compiled program: pad the trailing partial group
+            # with already-staged batches masked out via num_valid=0
+            nv = [c[1] for c in chunk]
+            while len(chunk) < group:
+                chunk = chunk + [chunk[-1]]
+                nv.append(0)
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[c[0] for c in chunk])
+            keys = jax.random.split(
+                jax.random.fold_in(rng, n_total), len(chunk))
+            out = scan_moments(self.variables, state, stacked, keys,
+                               jnp.asarray(nv, jnp.int32))
+            totals = out if totals is None else tuple(
+                a + b for a, b in zip(totals, out))
+
+        for batch in real_batches:
+            if batch_size is None:
+                batch_size = int(batch["images"].shape[0])
+            padded = pad_rows(batch, batch_size)
+            n_total += padded[1]
+            pending.append(padded)
+            if len(pending) == group:
+                flush(pending)
+                pending = []
+        if pending:
+            flush(pending)
+        s1r, s2r, s1f, s2f = jax.device_get(totals)
+        mu_r, cov_r = statistics_from_moments(n_total, s1r, s2r)
+        mu_f, cov_f = statistics_from_moments(n_total, s1f, s2f)
+        return fid_from_statistics(mu_r, cov_r, mu_f, cov_f)
 
     def fid(self,
             real_batches: Iterable[Any],

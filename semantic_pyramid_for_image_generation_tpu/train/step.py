@@ -211,17 +211,21 @@ def make_train_step(
 def make_generate_fn(generator, vgg):
     """Jitted eval-mode sampler: (state, images, masks, labels, rng) -> fakes.
     Mirrors the validation/inference generation path
-    (/root/reference/frechet_inception_distance.py:82-90)."""
+    (/root/reference/frechet_inception_distance.py:82-90). Pass `noise`
+    explicitly to pin the latent draw (e.g. the batched 7x7 grid concatenates
+    per-level draws so one 49-row dispatch reproduces seven 7-row ones)."""
     from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
         compute_sigma_tree,
     )
 
     @jax.jit
-    def generate(state: TrainState, images, masks, labels, rng):
+    def generate(state: TrainState, images, masks, labels, rng, noise=None):
         images = ensure_m11_images(images)
         features = vgg.apply({"params": state.vgg_params}, images)
-        noise = jax.random.normal(
-            rng, (images.shape[0], generator.config.latent_dim), jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(
+                rng, (images.shape[0], generator.config.latent_dim),
+                jnp.float32)
         sigmas, _ = compute_sigma_tree(
             state.g_params, state.g_spectral, update=False)
         return generator.apply(

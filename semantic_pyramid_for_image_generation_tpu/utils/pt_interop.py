@@ -406,6 +406,11 @@ def export_adam_state_dict(variables_mu: Mapping[str, Any],
     parameter-order keys become torch's integer param ids. `variables_*`
     carry the moment trees in the "params" slot (spectral/batch_stats only
     supply the exporter's buffer keys, which are dropped here).
+
+    `lr` lands in the exported param_groups and torch's Adam.load_state_dict
+    ADOPTS saved param_groups — a reference resume trains at this lr
+    regardless of its own --lr flag, so pass the actual training lr
+    (cli/convert_checkpoint.py --lr plumbs it).
     Ref: /root/reference/main.py:64-73 (Adam(params, lr), full restore)."""
     import torch
 
@@ -439,7 +444,9 @@ def save_reference_gan_checkpoint(path: str, generator_variables,
     """Write a reference-format checkpoint_XXX.pt
     (model_wrapper.py:215-223 layout). When the optax Adam states are given,
     the optimizer slots carry converted torch Adam moments, so the reference
-    resumes with identical updates; otherwise they are empty."""
+    resumes with identical updates *provided `lr` matches the original
+    training lr* (torch adopts the exported param_groups, overriding the
+    resume-side --lr); otherwise they are empty."""
     import torch
 
     def adam_sd(opt_state, variables, export_fn):

@@ -41,6 +41,17 @@ def test_fid_separates_distributions(rng):
     assert fid_from_activations(a, b) > fid_from_activations(a, a)
 
 
+def test_random_inception_requires_opt_in():
+    """Without pretrained weights FIDEvaluator must refuse (VERDICT r2 task
+    6): a warned-but-plausible non-standard FID is too easy to mistake for a
+    real one. allow_random=True (CLI --allow_random_fid) is the explicit
+    smoke-run escape hatch."""
+    import pytest
+
+    with pytest.raises(ValueError, match="allow_random"):
+        FIDEvaluator()
+
+
 def test_normalize_m1_1_matches_reference(rng):
     x = rng.standard_normal((3, 8, 8, 3)).astype(np.float32) * 5 + 2
     y = np.asarray(normalize_m1_1(jnp.asarray(x)))
@@ -53,7 +64,7 @@ def test_normalize_m1_1_matches_reference(rng):
 def test_evaluator_end_to_end_random_inception(rng):
     """Random-weight inception still yields a well-defined pipeline: FID of a
     distribution against itself ~ 0, and resize path (64 -> 299) works."""
-    ev = FIDEvaluator()
+    ev = FIDEvaluator(allow_random=True)
     images = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
     acts = ev.activations(jnp.asarray(images))
     assert acts.shape == (8, 2048)
@@ -74,7 +85,7 @@ def test_streaming_moments_match_direct_activations(rng):
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        ev = FIDEvaluator()
+        ev = FIDEvaluator(allow_random=True)
     images = rng.uniform(-1, 1, (12, 64, 64, 3)).astype(np.float32)
     fakes = rng.uniform(-1, 1, (12, 64, 64, 3)).astype(np.float32)
     batches = [
@@ -90,4 +101,40 @@ def test_streaming_moments_match_direct_activations(rng):
                         ev.activations(jnp.asarray(images[8:]))]),
         np.concatenate([ev.activations(jnp.asarray(fakes[:8])),
                         ev.activations(jnp.asarray(fakes[8:]))]))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_fid_scan_matches_streaming(rng):
+    """The O(1)-dispatch lax.scan packaging (FIDEvaluator.fid_scan, VERDICT
+    r2 task 2) must agree with the per-batch streaming path, including a
+    ragged trailing batch and a partial trailing group (both padded with
+    num_valid masking)."""
+    import warnings
+
+    import jax
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ev = FIDEvaluator(allow_random=True)
+    images = rng.uniform(-1, 1, (10, 64, 64, 3)).astype(np.float32)
+    fakes = rng.uniform(-1, 1, (10, 64, 64, 3)).astype(np.float32)
+    # 2 full batches of 4 + ragged batch of 2 -> group=2 leaves a partial
+    # trailing group of 1
+    batches = []
+    for lo, hi in ((0, 4), (4, 8), (8, 10)):
+        batches.append({"images": images[lo:hi], "fakes": fakes[lo:hi]})
+
+    def pad_stream(b):
+        n = b["images"].shape[0]
+        if n < 4:
+            b = {k: np.concatenate([v, np.repeat(v[:1], 4 - n, 0)])
+                 for k, v in b.items()}
+            b["num_valid"] = n
+        return {k: (jnp.asarray(v) if k != "num_valid" else v)
+                for k, v in b.items()}
+
+    want = ev.fid([pad_stream(dict(b)) for b in batches],
+                  lambda b: b["fakes"])
+    got = ev.fid_scan(batches, lambda state, b, key: b["fakes"],
+                      state=None, rng=jax.random.key(0), group=2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

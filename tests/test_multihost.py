@@ -1,0 +1,84 @@
+"""Multi-host data parallelism exercised for real (VERDICT r2 task 4).
+
+The README claims pod scaling via --multihost -> jax.distributed.initialize()
+(cli/main.py). This test makes that claim load-bearing: it spawns 2 OS
+processes, each with 4 virtual CPU devices, joins them into one JAX
+distributed runtime, and runs ONE fused G/D train step over the global
+8-device data mesh with cross-process collectives (gloo standing in for
+ICI/DCN). Asserts finite, process-identical losses.
+
+Reference anchor: /root/reference/main.py:91-94 — its single parallelism
+mechanism (nn.DataParallel) works when invoked; ours must too.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+NUM_PROCESSES = 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    port = _free_port()
+
+    env = dict(os.environ)
+    # this image's sitecustomize registers the axon TPU plugin at interpreter
+    # startup when PALLAS_AXON_POOL_IPS is set, initializing a backend before
+    # jax.distributed.initialize can run — strip it so the workers boot clean
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"  # subprocess: set before interpreter start
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS"):
+        env[var] = "1"
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(NUM_PROCESSES), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+        for i in range(NUM_PROCESSES)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    metrics = []
+    for out in outputs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("METRICS ")]
+        assert lines, f"no METRICS line in worker output:\n{out[-4000:]}"
+        metrics.append(json.loads(lines[-1][len("METRICS "):]))
+
+    ref = metrics[0]
+    assert ref["step"] == 1
+    for name, value in ref.items():
+        assert np.isfinite(value), (name, value)
+    for other in metrics[1:]:
+        # the global psum makes every process see the same global losses
+        for name, value in ref.items():
+            np.testing.assert_allclose(other[name], value, rtol=1e-6,
+                                       err_msg=name)

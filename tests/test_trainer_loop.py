@@ -40,9 +40,16 @@ def test_trainer_one_epoch(tmp_path):
         lr=1e-4,
         save_data_path=str(tmp_path),
         use_mesh=True,
+        allow_random_fid=True,
     )
     trainer.train(epochs=1, validate_after_n_iterations=8,
                   validate_at_start=False, progress=False)
+
+    # batched metric fetches must not drop metrics (VERDICT r2 task 1):
+    # every step logged even though device_get fired once per flush
+    assert len(trainer.logger.metrics["loss_generator"]) == 2
+    assert len(trainer.logger.metrics["iterations"]) == 2
+    assert trainer.logger.metrics["iterations"] == [8.0, 16.0]
 
     # metric artifacts with reference-compatible names (misc.py:144-159)
     metrics_dir = trainer.paths["metrics"]
@@ -61,3 +68,54 @@ def test_trainer_one_epoch(tmp_path):
     with Image.open(grids[-1]) as img:
         w, h = img.size
     assert w == h == 7 * CFG.image_size + 8 * 2  # 7 cells + padding
+
+
+@pytest.mark.slow
+def test_batched_grid_matches_looped_dispatches(tmp_path):
+    """inference() packages all 7 mask levels into ONE generate dispatch
+    (VERDICT r2 task 7); with the same rng-split sequence the grid PNG must
+    be byte-identical to the pre-batching 7-dispatch form."""
+    import jax
+    import jax.numpy as jnp
+
+    from semantic_pyramid_for_image_generation_tpu.data.masks import (
+        MaskSchedule,
+    )
+    from semantic_pyramid_for_image_generation_tpu.eval.grid import (
+        save_inference_grid,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
+
+    n = 2
+    trainer = Trainer(
+        CFG,
+        training_dataset=_SyntheticLoader(1, 4),
+        validation_dataset=_SyntheticLoader(1, 4, validation=True),
+        save_data_path=str(tmp_path),
+        use_mesh=False,
+        allow_random_fid=True,
+    )
+    rng0 = trainer.rng
+    path = trainer.inference(num_images=n)
+
+    # replay the looped form: one dispatch per level, same rng splits
+    batch = trainer._inference_batch  # cached by _draw_inference_samples
+    images = np.asarray(batch["images"][:n])
+    labels = np.asarray(batch["labels"][:n])
+    schedule = MaskSchedule(CFG)
+    rng = rng0
+    columns = []
+    for level in range(7):
+        masks = tuple(np.broadcast_to(m[None], (n,) + m.shape).copy()
+                      for m in schedule.inference_masks(level))
+        rng, k = jax.random.split(rng)
+        fakes = trainer.generate_fn(
+            trainer.state, jnp.asarray(images),
+            jax.tree.map(jnp.asarray, masks), jnp.asarray(labels), k)
+        columns.append(np.asarray(fakes))
+    stack = np.stack(columns, axis=1).reshape(
+        (n * 7,) + columns[0].shape[1:])
+    want_path = os.path.join(str(tmp_path), "looped.png")
+    save_inference_grid(stack, want_path)
+    with open(path, "rb") as f_got, open(want_path, "rb") as f_want:
+        assert f_got.read() == f_want.read()
