@@ -90,32 +90,54 @@ def analyze(log_dir: str, steps: int) -> dict:
 
     i_cat = col("category")
     i_name = col("HLO op name", "op name")
-    i_self = col("self time")
-    i_flops = col("GFLOP")
+    i_self = col("Total self time (us)")
+    i_flops = col("Normalized GFLOP/s")
+    i_bw = col("Measured memory BW")
+    i_hbm = col("HBM BW")
+    i_bound = col("Bound by")
+    i_text = col("HLO op text")
+    i_occ = col("#Occurrences")
+    i_src = col("Source Info")
     assert i_cat is not None and i_name is not None and i_self is not None, cols
-    out_rows = []
     total_us = sum(r[i_self] or 0.0 for r in rows)
     by_cat = {}
     for r in rows:
         by_cat[r[i_cat]] = by_cat.get(r[i_cat], 0.0) + (r[i_self] or 0.0)
-    for r in sorted(rows, key=lambda r: -(r[i_self] or 0.0)):
+
+    def fmt(r):
         share = (r[i_self] or 0.0) / max(total_us, 1e-9)
-        if share < 0.02:
-            break
-        out_rows.append({
-            "op": (r[i_name] or "")[:120],
+        d = {
+            "op": (r[i_name] or "")[:80],
             "category": r[i_cat],
+            "n": r[i_occ] if i_occ is not None else None,
             "self_us_per_step": round((r[i_self] or 0.0) / steps, 1),
             "share_pct": round(100 * share, 2),
-            "gflops_per_s": (r[i_flops] if i_flops is not None else None),
-        })
+            "bound_by": r[i_bound] if i_bound is not None else None,
+            "gflops_per_s": (round(r[i_flops], 1)
+                             if i_flops is not None and r[i_flops] else None),
+            "mem_bw_gib_s": (round(r[i_bw], 1)
+                             if i_bw is not None and r[i_bw] else None),
+            "hbm_bw_gib_s": (round(r[i_hbm], 1)
+                             if i_hbm is not None and r[i_hbm] else None),
+            "text": (r[i_text] or "")[:220] if i_text is not None else None,
+            "src": (r[i_src] or "")[:120] if i_src is not None else None,
+        }
+        return d
+
+    ordered = sorted(rows, key=lambda r: -(r[i_self] or 0.0))
+    top = [fmt(r) for r in ordered[:20]]
+    format_ops = [fmt(r) for r in ordered
+                  if r[i_cat] in ("data formatting", "copy", "broadcast",
+                                  "pad", "slice", "concatenate")][:12]
+    loop_ops = [fmt(r) for r in ordered if r[i_cat] == "loop fusion"][:10]
     return {
         "total_device_us_per_step": round(total_us / steps, 1),
         "category_shares_pct": {
             k: round(100 * v / max(total_us, 1e-9), 2)
             for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])},
-        "ops_ge_2pct": out_rows,
-        "columns_available": cols,
+        "top_ops": top,
+        "data_formatting_ops": format_ops,
+        "loop_fusion_ops": loop_ops,
     }
 
 
@@ -128,11 +150,14 @@ def main() -> int:
     p.add_argument("--keep", action="store_true",
                    help="keep the trace dir (prints its path)")
     p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--analyze_only", action="store_true",
+                   help="re-analyze an existing --log_dir without capturing")
     args = p.parse_args()
 
     if args.log_dir:
         os.makedirs(args.log_dir, exist_ok=True)
-        capture(args, args.log_dir)
+        if not args.analyze_only:
+            capture(args, args.log_dir)
         report = analyze(args.log_dir, args.steps)
         print(json.dumps(report, indent=1))
         return 0

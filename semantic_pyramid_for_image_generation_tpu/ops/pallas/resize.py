@@ -50,14 +50,49 @@ def _resize_kernel(ah_ref, awt_ref, x_ref, o_ref):
     o_ref[0] = jnp.swapaxes(y, 1, 2)                # (hb, Wo, cb)
 
 
+def _resize_kernel_small_c(ah_ref, awt_ref, x_ref, o_ref):
+    """cb < 128 variant. The direct (H, W, cb) -> (H, W*cb) collapse mixes a
+    PARTIAL lane dim (cb) into sublanes, which Mosaic rejects ('unsupported
+    shape cast', hit on the generator's 64-channel final-block upsample).
+    Transposing W into lanes first makes every fold land on a full 128-lane
+    minor dim — the same legal pattern the 128-slab kernel uses."""
+    x = x_ref[0]                                    # (H, W, cb)
+    h, w, cb = x.shape
+    hb = ah_ref.shape[0]
+    wo = awt_ref.shape[1]
+    xt = jnp.swapaxes(x, 1, 2)                      # (H, cb, W)  lanes = W
+    t = jnp.dot(ah_ref[...], xt.reshape(h, cb * w),
+                preferred_element_type=jnp.float32)   # (hb, cb*W)
+    t = t.astype(x.dtype).reshape(hb * cb, w)
+    y = jnp.dot(t, awt_ref[...],
+                preferred_element_type=jnp.float32)   # (hb*cb, Wo)
+    y = y.astype(o_ref.dtype).reshape(hb, cb, wo)
+    o_ref[0] = jnp.swapaxes(y, 1, 2)                # (hb, Wo, cb)
+
+
 def _pick_blocks(h: int, w: int, ho: int, wo: int, c: int):
     """(cb, hb): channel slab (== C, or 128-divisible per Mosaic block rules)
-    and output-row block keeping the VMEM working set ~<= 8 MB."""
+    and output-row block keeping the VMEM working set ~<= 8 MB.
+
+    cb: 128-lane slabs for >=128-channel tensors (the direct reshape form);
+    smaller tensors keep cb == C and use the transpose-first small-c kernel
+    (the direct (H, W, cb) collapse is only legal when cb fills the lanes)."""
     cb = c if c <= 128 else 128
-    budget = 8 * 1024 * 1024
+    # small-c kernel holds an extra in-VMEM transpose of the input slab, and
+    # the 16 MB scoped-vmem ceiling bit at 16.04 MB — budget conservatively.
+    # hb only sets the per-iteration tile: the input block index is constant
+    # across the row-block grid dim, so Mosaic re-uses it without re-DMAing.
+    x_copies = 1 if cb == 128 else 2
+    budget = (8 if cb == 128 else 5) * 1024 * 1024
     hb = ho
-    while hb > 8 and 2 * cb * (h * w + 2 * hb * w + 2 * hb * wo) > budget:
+    while hb > 8 and 2 * cb * (x_copies * h * w + 2 * hb * w
+                               + 2 * hb * wo) > budget:
         hb //= 2
+    if 2 * cb * (x_copies * h * w + 2 * hb * w + 2 * hb * wo) > budget:
+        # resident input slab alone exceeds VMEM (e.g. the 256^2 x 64
+        # DOWNSAMPLE backward of the final-block upsample: 8 MB slab x2
+        # copies) — signal the caller to take the einsum path.
+        return cb, 0
     return cb, hb
 
 
@@ -65,7 +100,7 @@ def _forward(x: jax.Array, a_h, a_w) -> jax.Array:
     b, h, w, c = x.shape
     ho, wo = a_h.shape[0], a_w.shape[0]
     cb, hb = _pick_blocks(h, w, ho, wo, c)
-    if c % cb or ho % hb:
+    if not hb or c % cb or ho % hb:
         from semantic_pyramid_for_image_generation_tpu.ops.resize import (
             _apply_separable,
         )
@@ -74,7 +109,7 @@ def _forward(x: jax.Array, a_h, a_w) -> jax.Array:
     ah = jnp.asarray(a_h, x.dtype)
     awt = jnp.asarray(a_w, x.dtype).T
     return pl.pallas_call(
-        _resize_kernel,
+        _resize_kernel if cb == 128 else _resize_kernel_small_c,
         grid=(b, ho // hb, c // cb),
         in_specs=[
             pl.BlockSpec((hb, h), lambda i, j, k: (j, 0),

@@ -17,10 +17,20 @@ constants cached per (in, out) pair.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Targeted fused-kernel dispatch (OPTIM.md round-3 experiment): route
+# upsamples whose OUTPUT height >= this threshold through the Pallas kernel
+# (ops/pallas/resize.py). 0 = einsum everywhere. The round-2 measurement
+# replaced ALL eleven sites and lost ~5% to fusion barriers; the round-3
+# profile showed the layout copies concentrate at the 256^2-output sites,
+# so the threshold targets only those.
+_PALLAS_UPSAMPLE_MIN_OUT = int(
+    os.environ.get("SPIG_PALLAS_UPSAMPLE_MIN_OUT", "0") or 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -82,6 +92,15 @@ def upsample_bilinear_align_corners(x: jax.Array, scale: int = 2) -> jax.Array:
     (207 -> 196 img/s measured at batch 128). Kept as a standalone op.
     """
     _, h, w, _ = x.shape
+    if (_PALLAS_UPSAMPLE_MIN_OUT
+            and h * scale >= _PALLAS_UPSAMPLE_MIN_OUT
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from semantic_pyramid_for_image_generation_tpu.ops.pallas.resize import (
+            upsample_align_corners_pallas,
+        )
+
+        return upsample_align_corners_pallas(x, scale)
     return _apply_separable(
         x,
         _bilinear_matrix_align_corners(h, h * scale),
