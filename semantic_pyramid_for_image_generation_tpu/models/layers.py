@@ -14,11 +14,23 @@ All spatial tensors are NHWC (TPU-native; the reference is NCHW).
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Fold the discriminator blocks' trailing avg-pools into their convs
+# (SNConv.fold_avg_pool) in the bf16 perf mode. 0 keeps the literal
+# conv -> pool order everywhere (the fp32 parity mode always keeps it).
+_FOLD_DPOOL = int(os.environ.get("SPIG_FOLD_DPOOL", "1") or 0)
+
+# Commute the generator residual path conv1x1(up2(x)) -> up2(conv1x1(x)) in
+# the bf16 perf mode: a 1x1 conv is pure channel mixing and commutes exactly
+# with the per-channel bilinear upsample, so the conv runs at coarse
+# resolution (1/4 the FLOPs) and the upsample shrinks when out < in channels.
+_COMMUTE_GRES = int(os.environ.get("SPIG_COMMUTE_GRES", "1") or 0)
 
 from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
     l2_normalize,
@@ -97,6 +109,16 @@ class SNConv(nn.Module, _SpectralMixin):
     strides: Tuple[int, int] = (1, 1)
     padding: int = 1
     use_bias: bool = True
+    # Algebraic pool fold: compute avg_pool_2x2(conv(x)) as ONE 4x4 (or
+    # (kh+1, kw+1)) stride-2 conv with kernel 1/4 * (k convolved with
+    # ones(2,2)) — exact by linearity (bias commutes: the pooled average of a
+    # constant is the constant). 44% of the conv-then-pool FLOPs for 3x3
+    # kernels, and the full-resolution conv output is never materialized.
+    # Param shape, spectral norm view, and sigma trajectory are unchanged:
+    # the fold happens after normalization at apply time. Used by the
+    # discriminator blocks' trailing convs in the bf16 perf mode (the fp32
+    # torch-parity mode keeps the literal conv -> pool order).
+    fold_avg_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +131,16 @@ class SNConv(nn.Module, _SpectralMixin):
         # HWIO -> OIHW -> (O, I*kh*kw): the exact matrix torch iterates on.
         w2d = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
         sigma = self._spectral_scale(w2d, update=train)
-        kernel = (kernel / sigma).astype(self.dtype)
+        kernel = kernel / sigma
+        strides = self.strides
+        if self.fold_avg_pool:
+            folded = jnp.zeros((kh + 1, kw + 1) + kernel.shape[2:], jnp.float32)
+            for di in (0, 1):
+                for dj in (0, 1):
+                    folded = folded.at[di:di + kh, dj:dj + kw].add(kernel)
+            kernel = folded * 0.25
+            strides = (2, 2)
+        kernel = kernel.astype(self.dtype)
         if in_ch < 8 and len(xs) == 1:
             # zero-pad sub-8-channel inputs (RGB image convs): identical math
             # (0 * k contributes nothing, fp-exact). In isolation the padded
@@ -128,7 +159,7 @@ class SNConv(nn.Module, _SpectralMixin):
             c = t.shape[-1]
             part = jax.lax.conv_general_dilated(
                 t.astype(self.dtype), kernel[:, :, offset:offset + c],
-                window_strides=self.strides, padding=pad,
+                window_strides=strides, padding=pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 precision=prec)
             y = part if y is None else y + part
@@ -339,9 +370,12 @@ class GeneratorResidualBlock(nn.Module):
         y = cbn(self.out_channels, "cbn_2")(y, class_onehot, train)
         y = lrelu(y)
         y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2")(y, train)
-        res = upsample_bilinear_align_corners(x, 2)
-        res = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
-                     dtype=self.dtype, name="residual_conv")(res, train)
+        res_conv = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
+                          dtype=self.dtype, name="residual_conv")
+        if _COMMUTE_GRES and self.dtype != jnp.float32:
+            res = upsample_bilinear_align_corners(res_conv(x, train), 2)
+        else:
+            res = res_conv(upsample_bilinear_align_corners(x, 2), train)
         feat = SNConv(self.out_channels, dtype=self.dtype,
                       name="masked_feature_mapping")(masked_features, train)
         return y + res + feat
@@ -373,12 +407,19 @@ class DiscriminatorInputResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        fold = _FOLD_DPOOL and self.dtype != jnp.float32
         y = SNConv(self.out_channels, dtype=self.dtype, name="conv_1")(x, train)
         y = lrelu(y)
-        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2")(y, train)
-        y = avg_pool_2d(y, 2)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2",
+                   fold_avg_pool=fold)(y, train)
+        if not fold:
+            y = avg_pool_2d(y, 2)
+        # residual: conv1x1(avgpool(x)) == the folded 2x2 stride-2 conv by
+        # linearity, so both orders share one code path when folding
+        res_in = x if fold else avg_pool_2d(x, 2)
         res = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
-                     dtype=self.dtype, name="residual_conv")(avg_pool_2d(x, 2), train)
+                     dtype=self.dtype, name="residual_conv",
+                     fold_avg_pool=fold)(res_in, train)
         return y + res
 
 
@@ -391,10 +432,17 @@ class DiscriminatorResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        # avgpool(main + residual) == foldedconv(main_in) + foldedconv(x):
+        # the pool distributes over the sum and folds into each conv.
+        fold = _FOLD_DPOOL and self.dtype != jnp.float32
         y = lrelu(x)
         y = SNConv(self.out_channels, dtype=self.dtype, name="conv_1")(y, train)
         y = lrelu(y)
-        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2")(y, train)
+        y = SNConv(self.out_channels, dtype=self.dtype, name="conv_2",
+                   fold_avg_pool=fold)(y, train)
         res = SNConv(self.out_channels, kernel_size=(1, 1), padding=0,
-                     dtype=self.dtype, name="residual_conv")(x, train)
+                     dtype=self.dtype, name="residual_conv",
+                     fold_avg_pool=fold)(x, train)
+        if fold:
+            return y + res
         return avg_pool_2d(y + res, 2)

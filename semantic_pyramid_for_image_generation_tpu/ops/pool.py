@@ -14,10 +14,65 @@ ops/resize.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Route large bf16 2x2 max pools through the fused Pallas kernel
+# (ops/pallas/pool.py). Measured at batch 128: 200.1 vs 209.4 img/s — the
+# kernel is elementwise-exact but a fusion barrier (same failure mode as the
+# Pallas resize), so it is OFF by default and ships as a tested standalone op.
+_PALLAS_MAXPOOL = int(os.environ.get("SPIG_PALLAS_MAXPOOL", "0") or 0)
+
+# A/B experiment: express the 2x2 pairwise max via strided slices (all 4-d
+# shapes, fusible) instead of the 6-d reshape chain. Measured 149.7 img/s at
+# batch 128 (minor-dim strided slices are expensive on TPU) — keep 0.
+_STRIDED_MAXPOOL = int(os.environ.get("SPIG_STRIDED_MAXPOOL", "0") or 0)
+
+# Keep the XLA reshape/pairwise forward (fuses into its neighbors — no
+# Pallas barrier) but replace the autodiff backward (6-d eq/select chains)
+# with a custom VJP of 4-d ops: broadcast-up the output and cotangent (the
+# proven _avg_pool_2x2_bwd pattern), route g to every window position that
+# attained the max, split equally among ties. Measured 211.6 vs 209.4 img/s
+# at batch 128 — ON by default for the bf16 TPU perf path.
+_MAXPOOL_CUSTOM_VJP = int(os.environ.get("SPIG_MAXPOOL_VJP", "1") or 0)
+
+
+def _up2(t: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, 2H, 2W, C) by repeating each cell over its 2x2
+    window (exact transpose pattern of _avg_pool_2x2_bwd)."""
+    b, h, w, c = t.shape
+    t = jnp.broadcast_to(t[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return t.reshape(b, 2 * h, 2 * w, c)
+
+
+@jax.custom_vjp
+def _max_pool_2x2_eqsplit(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.maximum(x[:, :, 0], x[:, :, 1])
+    return jnp.maximum(x[:, :, :, 0], x[:, :, :, 1])
+
+
+def _max_pool_2x2_eqsplit_fwd(x):
+    out = _max_pool_2x2_eqsplit(x)
+    return out, (x, out)
+
+
+def _max_pool_2x2_eqsplit_bwd(saved, g):
+    # Valid subgradient: cotangent split equally over all positions attaining
+    # the window max. Differs from JAX's pairwise-balanced rule only on ties
+    # (bf16 perf path only; the fp32 parity path keeps JAX's rule).
+    x, out = saved
+    eq = (x == _up2(out)).astype(g.dtype)
+    cnt = jax.lax.reduce_window(
+        eq, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return (eq * _up2(g / cnt),)
+
+
+_max_pool_2x2_eqsplit.defvjp(_max_pool_2x2_eqsplit_fwd, _max_pool_2x2_eqsplit_bwd)
 
 
 def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax.Array:
@@ -26,10 +81,28 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
     The ubiquitous 2x2/stride-2 case lowers to reshape + pairwise `maximum`
     instead of reduce_window: its gradient is a select (TPU-native) rather
     than select-and-scatter, which TPU cannot lower when a windowed dim lands
-    minor-most."""
+    minor-most. Large bf16 pools take the fused Pallas kernel (elementwise
+    identical fwd and bwd; see ops/pallas/pool.py)."""
     stride = window if stride is None else stride
     b, h, w, c = x.shape
     if window == 2 and stride == 2 and h % 2 == 0 and w % 2 == 0:
+        if (_PALLAS_MAXPOOL
+                and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            from semantic_pyramid_for_image_generation_tpu.ops.pallas.pool import (
+                max_pool_2x2_pallas,
+                supported_shape,
+            )
+
+            if supported_shape(h, w, c):
+                return max_pool_2x2_pallas(x)
+        if (_MAXPOOL_CUSTOM_VJP
+                and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            return _max_pool_2x2_eqsplit(x)
+        if _STRIDED_MAXPOOL:
+            x = jnp.maximum(x[:, 0::2], x[:, 1::2])      # (b, h/2, w, c)
+            return jnp.maximum(x[:, :, 0::2], x[:, :, 1::2])
         x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         x = jnp.maximum(x[:, :, 0], x[:, :, 1])      # (b, h/2, w/2, 2, c)
         return jnp.maximum(x[:, :, :, 0], x[:, :, :, 1])

@@ -155,6 +155,64 @@ class TestAvgPoolCustomVJP:
                                    atol=1e-6)
 
 
+class TestMaxPoolEqsplitVJP:
+    """The bf16 perf path's custom max-pool backward (_max_pool_2x2_eqsplit):
+    forward identical to max_pool_2d, backward identical on untied data, and a
+    valid subgradient (window sums conserve the cotangent) on ties."""
+
+    def test_forward_identical(self, rng):
+        from semantic_pyramid_for_image_generation_tpu.ops import pool
+        x = jnp.asarray(_nhwc(rng, h=8, w=8))
+        np.testing.assert_array_equal(
+            np.asarray(pool._max_pool_2x2_eqsplit(x)),
+            np.asarray(max_pool_2d(x)))
+
+    def test_backward_matches_on_untied(self, rng):
+        from semantic_pyramid_for_image_generation_tpu.ops import pool
+        x = jnp.asarray(_nhwc(rng, h=8, w=8))
+        g = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+        gr = jax.vjp(max_pool_2d, x)[1](g)[0]
+        gn = jax.vjp(pool._max_pool_2x2_eqsplit, x)[1](g)[0]
+        np.testing.assert_array_equal(np.asarray(gr), np.asarray(gn))
+
+    def test_tied_windows_conserve_cotangent(self, rng):
+        from semantic_pyramid_for_image_generation_tpu.ops import pool
+        x = jnp.asarray(np.round(_nhwc(rng, h=8, w=8) * 2) / 2)
+        g = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+        gx = jax.vjp(pool._max_pool_2x2_eqsplit, x)[1](g)[0]
+        sums = jax.lax.reduce_window(
+            gx, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        np.testing.assert_allclose(np.asarray(sums), np.asarray(g), atol=1e-6)
+
+
+class TestAlgebraicFolds:
+    """Perf-mode algebraic rewrites must be numerically equivalent to the
+    literal reference order (models/layers.py SNConv.fold_avg_pool and the
+    generator residual commute)."""
+
+    @pytest.mark.parametrize("ks,pad", [((3, 3), 1), ((1, 1), 0)])
+    def test_snconv_pool_fold_matches_conv_then_pool(self, rng, ks, pad):
+        from semantic_pyramid_for_image_generation_tpu.models.layers import SNConv
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 12)).astype(np.float32))
+        plain = SNConv(10, kernel_size=ks, padding=pad, dtype=jnp.float32)
+        folded = SNConv(10, kernel_size=ks, padding=pad, dtype=jnp.float32,
+                        fold_avg_pool=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        y0 = avg_pool_2d(plain.apply(variables, x, mutable=["spectral"])[0], 2)
+        y1 = folded.apply(variables, x, mutable=["spectral"])[0]
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-6)
+
+    def test_conv1x1_commutes_with_upsample(self, rng):
+        from semantic_pyramid_for_image_generation_tpu.models.layers import SNConv
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 12)).astype(np.float32))
+        conv = SNConv(6, kernel_size=(1, 1), padding=0, dtype=jnp.float32)
+        variables = conv.init(jax.random.PRNGKey(0), x)
+        apply = lambda t: conv.apply(variables, t, mutable=["spectral"])[0]
+        y0 = apply(upsample_bilinear_align_corners(x, 2))
+        y1 = upsample_bilinear_align_corners(apply(x), 2)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-6)
+
+
 class TestBatchedSigmaPass:
     """compute_sigma_tree must reproduce the inline per-layer spectral path
     exactly: same sigmas (same outputs) and same u/v trajectories — it is the
