@@ -183,6 +183,73 @@ def trainer_bench(args) -> None:
     }))
 
 
+def serving_bench(args) -> None:
+    """Chip-side serving latency/throughput of the generation path — the
+    cli/generate.py hot loop (VGG pyramid of the conditioning image + masks +
+    eval-mode Generator forward with the batched sigma pass). `--steps`
+    independent latent draws are packaged into ONE lax.scan dispatch so the
+    dev relay's seconds-per-dispatch cost doesn't pollute the number
+    (CLAUDE.md design rule; on a TPU VM each call is its own sub-ms
+    dispatch). `--batch_size 1 --serving` is the latency operating point."""
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state,
+        make_models,
+        make_optimizers,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        make_generate_fn,
+    )
+
+    use_pallas = args.pallas and jax.default_backend() == "tpu"
+    cfg = PyramidGANConfig(compute_dtype=args.dtype,
+                           channels_factor=args.channel_factor,
+                           vgg_width_factor=args.vgg_width_factor)
+    g_tx, d_tx = make_optimizers()
+    state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
+                             use_pallas_attention=use_pallas)
+    generator, _, vgg = make_models(cfg, use_pallas)
+    generate = make_generate_fn(generator, vgg)
+
+    batch = jax.tree.map(
+        jnp.asarray,
+        synthetic_batch(cfg, args.batch_size, np.random.default_rng(0),
+                        validation=True))
+
+    @jax.jit
+    def scan_generate(state, images, masks, labels, rng):
+        def body(_, step_rng):
+            fake = generate(state, images, masks, labels, step_rng)
+            # probe one pixel per call: forces execution, syncs ~nothing
+            return 0.0, fake[0, 0, 0, 0]
+
+        _, probes = jax.lax.scan(
+            body, 0.0, jax.random.split(rng, args.steps))
+        return probes
+
+    run = lambda seed: float(jax.device_get(scan_generate(  # noqa: E731
+        state, batch["images"], batch["masks"], batch["labels"],
+        jax.random.key(seed)))[-1])
+    run(0)  # compile
+    t0 = time.perf_counter()
+    run(1)
+    dt = time.perf_counter() - t0
+
+    n = args.batch_size * args.steps
+    per_chip = n / dt / jax.device_count()
+    print(json.dumps({
+        "metric": f"images/sec/chip, 256x256 serving generate "
+                  f"(VGG pyramid + G eval fwd, batch {args.batch_size}; "
+                  f"{round(1000.0 * dt / args.steps, 1)} ms/call chip-side)",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=128)
@@ -214,7 +281,16 @@ def main():
     parser.add_argument("--trainer", action="store_true", default=False,
                         help="measure the REAL Trainer.train loop host-fed "
                              "(production path, batched metric fetches)")
+    parser.add_argument("--serving", action="store_true", default=False,
+                        help="measure the eval-mode generation path "
+                             "(cli/generate.py hot loop) chip-side; use "
+                             "--batch_size 1 for the latency operating point")
     parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--channel_factor", type=float, default=1.0,
+                        help="shrink G/D widths (CPU smoke runs only; the "
+                             "headline number is full width)")
+    parser.add_argument("--vgg_width_factor", type=int, default=1,
+                        help="shrink VGG widths (CPU smoke runs only)")
     parser.add_argument("--num_workers", type=int, default=16)
     parser.add_argument("--compact-feed", dest="compact_feed",
                         default=True, action=argparse.BooleanOptionalAction,
@@ -230,6 +306,9 @@ def main():
         return
     if args.trainer:
         trainer_bench(args)
+        return
+    if args.serving:
+        serving_bench(args)
         return
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig

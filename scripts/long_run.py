@@ -15,12 +15,20 @@ Artifacts: <out>/loss_curves.png, <out>/fid.json, <out>/predictions_*.png
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import glob
 import json
 import os
 import shutil
+import signal
 import sys
 import time
+
+# Detached runs on this host have hung inside relay RPCs before (an orbax
+# save once futex-parked every thread for 50+ minutes); make the process
+# stack-dumpable from outside: `kill -USR1 <pid>` writes all thread
+# tracebacks to stderr (the nohup log).
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -80,6 +88,7 @@ def main() -> int:
         str(args.validate_every_steps * args.batch),
         "--num_workers", "16", "--compact_feed", "--allow_random_fid",
         "--save_data_path", args.save_dir, "--log_every", "50",
+        "--save_model_after_n_epochs", str(max(1, epochs // 2)),
         "--dtype", "bfloat16", "--lr", "1e-4", "--seed", "0",
     ])
     wall = time.perf_counter() - t0

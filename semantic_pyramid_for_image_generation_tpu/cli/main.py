@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fetch step metrics in one device_get every N steps "
                         "(1 = reference's per-iteration sync; larger keeps "
                         "the host off the step critical path)")
+    p.add_argument("--save_model_after_n_epochs", type=int, default=1,
+                   help="checkpoint cadence in epochs (the reference's "
+                        "hidden default, model_wrapper.py:94; a full "
+                        "TrainState save is a device->host fetch, so raise "
+                        "this on slow links)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--pallas", default=True,
@@ -208,6 +213,7 @@ def main(argv=None) -> int:
     if args.train:
         trainer.train(epochs=args.epochs,
                       validate_after_n_iterations=args.validate_after_n_iterations,
+                      save_model_after_n_epochs=args.save_model_after_n_epochs,
                       log_every=args.log_every)
     if args.test:
         print("FID=", trainer.validate())

@@ -26,8 +26,16 @@ def save_checkpoint(directory: str, state: TrainState,
     reference's checkpoint_XXX.pt naming)."""
     step = int(state.step) if step is None else step
     path = os.path.abspath(os.path.join(directory, f"checkpoint_{step:03d}"))
+    # Fetch to host numpy in ONE device_get before handing to orbax: orbax's
+    # internal async copy_to_host futures never complete on the axon TPU
+    # relay (observed: a save wrote only metadata, then deadlocked for 50+
+    # minutes with every thread futex-parked), while a plain device_get is
+    # the one reliable sync primitive on that transport (see bench.py).
+    # Host arrays also make orbax's write path fully synchronous, so the
+    # checkpoint is durable when this returns.
+    host_state = jax.device_get(state)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree.map(lambda x: x, state))
+        ckptr.save(path, host_state)
     return path
 
 

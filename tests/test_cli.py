@@ -41,6 +41,7 @@ def test_reference_defaults_match():
     assert args.w_div == 0.1
     assert args.validate_after_n_iterations == 100_000
     assert args.fid_images == 6000
+    assert args.save_model_after_n_epochs == 1
 
 
 def test_finetune_defaults_match_reference():
