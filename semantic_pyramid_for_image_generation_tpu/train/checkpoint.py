@@ -35,7 +35,10 @@ def save_checkpoint(directory: str, state: TrainState,
     # checkpoint is durable when this returns.
     host_state = jax.device_get(state)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, host_state)
+        # force=True: overwrite like the reference's torch.save
+        # (model_wrapper.py:215-223) — a retrained epoch or a partial dir
+        # left by a crash must not abort the run.
+        ckptr.save(path, host_state, force=True)
     return path
 
 

@@ -114,6 +114,7 @@ class Trainer:
             tensorboard_dir=os.path.join(self.paths["metrics"], "tensorboard")
             if tensorboard else None)
         self.samples_seen = 0
+        self.epochs_trained = 0  # persistent across train() calls
         self.logger.hyperparameter.update({
             "generator_params": str(param_count(self.state.g_params)),
             "discriminator_params": str(param_count(self.state.d_params)),
@@ -200,7 +201,11 @@ class Trainer:
                 bar = None
         next_validation = validate_after_n_iterations
         pending: list = []  # (device metrics, samples_seen, epoch) per step
-        for epoch in range(epochs):
+        for _ in range(epochs):
+            # epochs_trained persists across train() calls so checkpoint
+            # numbering never collides when train() is invoked again on the
+            # same Trainer (bench.py --trainer does; so does any warm-restart)
+            epoch = self.epochs_trained
             for batch in self.training_dataset:
                 batch_size = batch["images"].shape[0]
                 self.state, metrics = self.step_fn(
@@ -235,6 +240,7 @@ class Trainer:
                 save_checkpoint(self.paths["models"], self.state, step=epoch)
             self.inference()
             self.logger.save_metrics(self.paths["metrics"])
+            self.epochs_trained += 1
         if bar is not None:
             bar.close()
 

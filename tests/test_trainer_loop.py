@@ -95,6 +95,33 @@ def test_checkpoint_cadence(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_called_twice_numbers_checkpoints_continuously(tmp_path):
+    """Trainer.train() invoked again on the same Trainer (warm restart,
+    bench.py --trainer's timed second epoch) must continue the persistent
+    epoch counter instead of re-saving checkpoint_000 — orbax refuses to
+    overwrite an existing checkpoint directory."""
+    from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
+
+    trainer = Trainer(
+        CFG,
+        training_dataset=_SyntheticLoader(1, 8),
+        validation_dataset=None,
+        lr=1e-4,
+        save_data_path=str(tmp_path),
+        use_mesh=False,
+        allow_random_fid=True,
+    )
+    trainer.train(epochs=1, validate_at_start=False, progress=False)
+    trainer.train(epochs=1, validate_at_start=False, progress=False)
+    assert trainer.epochs_trained == 2
+    ckpts = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(trainer.paths["models"], "checkpoint_*")))
+    assert ckpts == ["checkpoint_000", "checkpoint_001"]
+    # epoch metric reflects the global counter, not the per-call index
+    assert trainer.logger.metrics["epoch"] == [0.0, 1.0]
+
+
+@pytest.mark.slow
 def test_batched_grid_matches_looped_dispatches(tmp_path):
     """inference() packages all 7 mask levels into ONE generate dispatch
     (VERDICT r2 task 7); with the same rng-split sequence the grid PNG must
