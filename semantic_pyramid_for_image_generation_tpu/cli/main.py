@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", default=False, action="store_true",
                    help="initialize the JAX distributed runtime (multi-host "
                         "pods; single-host pods need no flag)")
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="shard params + Adam moments + frozen VGG over this "
+                        "many devices (2-D data x fsdp mesh, ZeRO-3 style); "
+                        "must divide the device count")
     return p
 
 
@@ -186,6 +190,7 @@ def main(argv=None) -> int:
         lr=args.lr, w_rec=args.w_rec, w_div=args.w_div, seed=args.seed,
         save_data_path=args.save_data_path,
         use_pallas_attention=args.pallas and jax.default_backend() == "tpu",
+        fsdp=args.fsdp,
         remat_vgg=args.remat_vgg, fused_discriminator=args.fused_d,
         tensorboard=args.tensorboard,
         g_variables=g_variables, d_variables=d_variables,

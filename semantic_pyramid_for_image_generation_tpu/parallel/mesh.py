@@ -1,11 +1,16 @@
-"""Device mesh & sharding for data-parallel training over ICI.
+"""Device mesh & sharding: data-parallel and FSDP over ICI.
 
 The reference's only parallelism is single-process `nn.DataParallel`
 (/root/reference/main.py:91-94): input scatter, per-replica forward, gradient
 reduction in the gather's backward. The TPU-native equivalent (SURVEY.md 2.11):
 
-  * a 1-D `Mesh` over all chips with axis 'data';
-  * parameters/optimizer state replicated, batch sharded on axis 0;
+  * a `Mesh` over all chips with axis 'data' (optionally x 'fsdp');
+  * batch sharded on axis 0 across every mesh axis;
+  * parameters/optimizer state replicated (pure DP), or — with an 'fsdp'
+    axis — sharded ZeRO-3 style: each large leaf is split on its largest
+    divisible dimension, XLA all-gathers params per layer in the forward and
+    reduce-scatters gradients, so per-chip memory for params + Adam moments
+    drops by the fsdp factor (the frozen 134M-param VGG included);
   * the jitted train step is GSPMD-partitioned: every loss mean over the
     sharded batch lowers to a psum over ICI — that psum IS the gradient
     all-reduce, no hand-written collectives needed.
@@ -23,20 +28,54 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+
+# Leaves smaller than this stay replicated under FSDP: sharding tiny tensors
+# (SN u/v vectors, BN stats, biases) buys no memory and costs a collective.
+FSDP_MIN_LEAF_ELEMENTS = 1 << 16
 
 
-def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              fsdp: int = 1) -> Mesh:
+    """1-D data mesh (fsdp=1, the default) or a 2-D (data, fsdp) mesh.
+
+    fsdp>1 folds that many consecutive devices into the parameter-sharding
+    axis; on a pod slice consecutive devices are ICI neighbors, so the
+    per-layer all-gather traffic stays on the fastest links.
+    """
     devices = list(jax.devices()) if devices is None else list(devices)
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if fsdp <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % fsdp:
+        raise ValueError(
+            f"device count {len(devices)} not divisible by fsdp={fsdp}")
+    grid = np.asarray(devices).reshape(len(devices) // fsdp, fsdp)
+    return Mesh(grid, (DATA_AXIS, FSDP_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard axis 0 (batch) over the data axis; broadcast trailing axes."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard axis 0 (batch) over every mesh axis; broadcast trailing axes."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def fsdp_spec(shape: Sequence[int], mesh: Mesh) -> P:
+    """FSDP partition spec for one leaf: shard the largest dimension that the
+    fsdp axis divides; replicate small or indivisible leaves."""
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    k = axes.get(FSDP_AXIS, 1)
+    if k <= 1 or int(np.prod(shape)) < FSDP_MIN_LEAF_ELEMENTS:
+        return P()
+    divisible = [d for d in range(len(shape)) if shape[d] % k == 0]
+    if not divisible:
+        return P()
+    dim = max(divisible, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[dim] = FSDP_AXIS
+    return P(*spec)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
@@ -46,6 +85,16 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Replicate the train state across the mesh."""
-    sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    """Place the train state on the mesh.
+
+    Pure data mesh: replicate everything (DataParallel semantics). With an
+    fsdp axis: large leaves (conv/linear kernels, embeddings, Adam mu/nu,
+    frozen VGG weights) are sharded per `fsdp_spec`; scalars, norm stats and
+    SN vectors stay replicated. GSPMD propagates these placements through the
+    jitted step, inserting the per-layer all-gathers / gradient
+    reduce-scatters of ZeRO-3 automatically.
+    """
+    def put(x):
+        spec = fsdp_spec(np.shape(x), mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, state)

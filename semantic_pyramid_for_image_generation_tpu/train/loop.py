@@ -71,6 +71,7 @@ class Trainer:
         save_data_path: str = "saved_data",
         use_pallas_attention: bool = False,
         use_mesh: bool = True,
+        fsdp: int = 1,
         remat_vgg: bool = False,
         fused_discriminator: bool = False,
         tensorboard: bool = False,
@@ -95,7 +96,9 @@ class Trainer:
                 use_pallas_attention=use_pallas_attention,
                 vgg_variables=vgg_variables, g_variables=g_variables,
                 d_variables=d_variables)
-        self.mesh = make_mesh() if use_mesh else None
+        # fsdp>1 builds a 2-D (data, fsdp) mesh: params + Adam moments +
+        # frozen VGG sharded ZeRO-3 style (parallel/mesh.py::fsdp_spec)
+        self.mesh = make_mesh(fsdp=fsdp) if use_mesh else None
         if self.mesh is not None:
             state = shard_state(state, self.mesh)
         self.state = state
