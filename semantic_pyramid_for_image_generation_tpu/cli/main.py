@@ -175,10 +175,14 @@ def main(argv=None) -> int:
         inception_variables = convert_inception_state_dict(
             load_torch_file(args.load_inception))
 
+    # multihost: every host decodes only its 1/process_count slice of each
+    # global batch (shuffle + mask draws are seeded identically across hosts,
+    # so the concatenated shards equal the single-host loader bit-for-bit)
     train_loader = Places365Loader(
         Places365(args.path_to_places365, "train.txt", config),
         batch_size=args.batch_size, shuffle=True, drop_last=True,
-        num_workers=args.num_workers, compact_feed=args.compact_feed)
+        num_workers=args.num_workers, compact_feed=args.compact_feed,
+        num_shards=jax.process_count(), shard_id=jax.process_index())
     val_loader = Places365Loader(
         Places365(args.path_to_places365, "val.txt", config,
                   max_length=args.fid_images, validation=True),
@@ -191,6 +195,7 @@ def main(argv=None) -> int:
         save_data_path=args.save_data_path,
         use_pallas_attention=args.pallas and jax.default_backend() == "tpu",
         fsdp=args.fsdp,
+        process_sharded_data=jax.process_count() > 1,
         remat_vgg=args.remat_vgg, fused_discriminator=args.fused_d,
         tensorboard=args.tensorboard,
         g_variables=g_variables, d_variables=d_variables,

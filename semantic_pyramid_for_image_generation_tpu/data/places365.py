@@ -150,7 +150,20 @@ class Places365Loader:
         seed: int = 0,
         use_native_masks: Optional[bool] = None,
         compact_feed: bool = False,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ) -> None:
+        """`num_shards`/`shard_id` (multi-host feeding): `batch_size` stays the
+        GLOBAL batch size; shard s decodes only its contiguous slice of every
+        global batch, and the shuffle/mask draws are seeded identically on all
+        shards, so concatenating the shard outputs reproduces the unsharded
+        loader bit-for-bit (tests/test_data_pipeline.py). Each host therefore
+        does 1/num_shards of the JPEG-decode work — the TPU-native analogue of
+        a DistributedSampler feeding `mesh.shard_batch(process_local=True)`."""
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -225,7 +238,17 @@ class Places365Loader:
                     if stop.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    # masks for the GLOBAL batch (seeded identically on every
+                    # shard), then row-sliced — so shard concat == unsharded
                     native_masks = self._native_masks(len(idx), b, n_batches)
+                    if self.num_shards > 1:
+                        rows = np.array_split(
+                            np.arange(len(idx)), self.num_shards)[self.shard_id]
+                        idx = idx[rows]
+                        if len(idx) == 0:  # ragged final batch < num_shards
+                            continue
+                        if native_masks is not None:
+                            native_masks = [m[rows] for m in native_masks]
                     rngs = [np.random.default_rng((self.seed, self.epoch, int(i)))
                             for i in idx]
                     samples = list(pool.map(

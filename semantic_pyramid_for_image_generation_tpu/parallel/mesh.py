@@ -78,14 +78,44 @@ def fsdp_spec(shape: Sequence[int], mesh: Mesh) -> P:
     return P(*spec)
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put every array in the batch pytree with axis-0 sharding."""
+def _put_global(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place one host value onto a (possibly multi-process) sharding.
+
+    Single process: plain `device_put`. Under `jax.distributed` (the
+    `--multihost` path, cli/main.py) a mesh spans devices this process cannot
+    address, so the host value — identical on every process: the loader's
+    sorted index and per-sample seeded masks make batches process-reproducible,
+    and states init from the same seed — is assembled into a global array via
+    `make_array_from_process_local_data` (global_shape == local shape marks it
+    host-replicated; each process materializes only its addressable shards).
+    """
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=x.shape)
+    return jax.device_put(x, sharding)
+
+
+def shard_batch(batch: Any, mesh: Mesh, process_local: bool = False) -> Any:
+    """Place every array in the batch pytree with axis-0 sharding
+    (multi-process safe, see `_put_global`).
+
+    `process_local=True`: each process holds only ITS contiguous slice of the
+    global batch (a `Places365Loader(num_shards=process_count)` shard) — the
+    global array is assembled by concatenation along the batch axis, so no
+    host ever decodes rows another host's devices will consume.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if process_local and jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch)
+    return jax.tree.map(lambda x: _put_global(x, sharding), batch)
 
 
 def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Place the train state on the mesh.
+    """Place the train state on the mesh (multi-process safe).
 
     Pure data mesh: replicate everything (DataParallel semantics). With an
     fsdp axis: large leaves (conv/linear kernels, embeddings, Adam mu/nu,
@@ -96,5 +126,5 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
     """
     def put(x):
         spec = fsdp_spec(np.shape(x), mesh)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_global(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, state)

@@ -72,6 +72,7 @@ class Trainer:
         use_pallas_attention: bool = False,
         use_mesh: bool = True,
         fsdp: int = 1,
+        process_sharded_data: bool = False,
         remat_vgg: bool = False,
         fused_discriminator: bool = False,
         tensorboard: bool = False,
@@ -99,6 +100,16 @@ class Trainer:
         # fsdp>1 builds a 2-D (data, fsdp) mesh: params + Adam moments +
         # frozen VGG sharded ZeRO-3 style (parallel/mesh.py::fsdp_spec)
         self.mesh = make_mesh(fsdp=fsdp) if use_mesh else None
+        # process_sharded_data: the training loader is a per-host shard
+        # (Places365Loader(num_shards=process_count)) — each host decodes only
+        # its slice; _put assembles the global batch by concatenation
+        self.process_sharded_data = (
+            process_sharded_data and jax.process_count() > 1)
+        # multihost: device work (train step, FID, grids) is collective — all
+        # processes participate — but artifact WRITES (metric files, grid
+        # PNGs) go to one shared run dir, so only the lead process writes.
+        # Orbax checkpoint saves stay all-process (a distributed collective).
+        self.is_lead = jax.process_index() == 0
         if self.mesh is not None:
             state = shard_state(state, self.mesh)
         self.state = state
@@ -142,17 +153,21 @@ class Trainer:
         batch["num_valid"] = n
         return batch
 
-    def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+    def _put(self, batch: Dict[str, Any],
+             process_local: bool = False) -> Dict[str, Any]:
         num_valid = batch.pop("num_valid", None) if isinstance(batch, dict) else None
-        batch = jax.tree.map(jnp.asarray, batch)
+        if not process_local:
+            batch = jax.tree.map(jnp.asarray, batch)
         if self.mesh is not None:
             n = batch["images"].shape[0]
+            if process_local:  # per-host slice: the global batch is the concat
+                n *= jax.process_count()
             if n % self.mesh.devices.size != 0:
                 raise ValueError(
                     f"batch size {n} not divisible by the {self.mesh.devices.size}"
                     "-device data mesh; round the batch size or use "
                     "_pad_to_mesh for eval batches")
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(batch, self.mesh, process_local=process_local)
         if num_valid is not None:
             batch["num_valid"] = num_valid
         return batch
@@ -211,8 +226,13 @@ class Trainer:
             epoch = self.epochs_trained
             for batch in self.training_dataset:
                 batch_size = batch["images"].shape[0]
+                if self.process_sharded_data:
+                    # the loader batch is this host's slice; account globally
+                    batch_size *= jax.process_count()
                 self.state, metrics = self.step_fn(
-                    self.state, self._put(batch), self.rng)
+                    self.state,
+                    self._put(batch, process_local=self.process_sharded_data),
+                    self.rng)
                 self.samples_seen += batch_size
                 pending.append((metrics, self.samples_seen, epoch))
                 if bar is not None:
@@ -237,12 +257,14 @@ class Trainer:
                     self.inference()
                     self.logger.log("fid", fid)
                     self.logger.log("iterations_fid", self.samples_seen)
-                    self.logger.save_metrics(self.paths["metrics"])
+                    if self.is_lead:
+                        self.logger.save_metrics(self.paths["metrics"])
             self._flush_metrics(pending)
             if epoch % save_model_after_n_epochs == 0:
                 save_checkpoint(self.paths["models"], self.state, step=epoch)
             self.inference()
-            self.logger.save_metrics(self.paths["metrics"])
+            if self.is_lead:
+                self.logger.save_metrics(self.paths["metrics"])
             self.epochs_trained += 1
         if bar is not None:
             bar.close()
@@ -388,5 +410,6 @@ class Trainer:
             .swapaxes(0, 1).reshape((num_images * 7,) + fakes.shape[1:])
         path = os.path.join(self.paths["plots"],
                             f"predictions_{self.samples_seen}.png")
-        save_inference_grid(stack, path)
+        if self.is_lead:
+            save_inference_grid(stack, path)
         return path

@@ -42,9 +42,9 @@ def main() -> int:
         synthetic_batch,
     )
     from semantic_pyramid_for_image_generation_tpu.parallel.mesh import (
-        batch_sharding,
         make_mesh,
-        replicated_sharding,
+        shard_batch,
+        shard_state,
     )
     from semantic_pyramid_for_image_generation_tpu.train.state import (
         init_train_state,
@@ -64,25 +64,36 @@ def main() -> int:
                            donate=False)
 
     mesh = make_mesh()  # global: 2 processes x 4 virtual devices
-    b_sh = batch_sharding(mesh)
-    r_sh = replicated_sharding(mesh)
-
-    # full host-side value -> global array (each process contributes its
-    # addressable slice; global_shape marks the data as host-replicated)
-    def to_global(x, sharding):
-        x = np.asarray(x)
-        return jax.make_array_from_process_local_data(
-            sharding, x, global_shape=x.shape)
-
-    state = jax.tree.map(lambda x: to_global(x, r_sh), state)
+    # the PRODUCTION placement helpers (what Trainer._put / Trainer.__init__
+    # call) — multi-process safe via mesh._put_global, which assembles each
+    # host-replicated value into a global array from process-local shards
+    state = jax.tree.map(np.asarray, state)  # host-side, as a loader would be
+    state = shard_state(state, mesh)
     host_batch = synthetic_batch(cfg, 8, np.random.default_rng(0))
-    batch = jax.tree.map(lambda x: to_global(x, b_sh), host_batch)
+    batch = shard_batch(host_batch, mesh)
 
     with mesh:
         new_state, metrics = step(state, batch, jax.random.key(1))
     host = {k: float(np.asarray(v.addressable_data(0)))
             for k, v in metrics.items()}
     host["step"] = int(np.asarray(new_state.step.addressable_data(0)))
+
+    # process-local feeding (the --multihost production wiring): this process
+    # holds only ITS contiguous half of the global batch — exactly what a
+    # Places365Loader(num_shards=2, shard_id=process_id) shard emits — and
+    # shard_batch(process_local=True) assembles the identical global array,
+    # so the step metrics must match the host-replicated feed bit-for-bit.
+    half = 8 // num_processes
+    local = jax.tree.map(
+        lambda x: x[process_id * half:(process_id + 1) * half], host_batch)
+    local_batch = shard_batch(local, mesh, process_local=True)
+    with mesh:
+        _, metrics_local = step(state, local_batch, jax.random.key(1))
+    for k, v in metrics_local.items():
+        np.testing.assert_array_equal(
+            np.asarray(v.addressable_data(0)), host[k],
+            err_msg=f"process-local feed diverged on {k}")
+
     print("METRICS " + json.dumps(host, sort_keys=True), flush=True)
     jax.distributed.shutdown()
     return 0

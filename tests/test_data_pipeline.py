@@ -183,3 +183,38 @@ def test_max_length_subset_seeded(dataset_root):
 def test_drop_first_index_line_compat(dataset_root):
     ds = Places365(dataset_root, "train.txt", CFG, drop_first_index_line=True)
     assert len(ds) == 11
+
+
+@pytest.mark.parametrize("use_native_masks", [False, None])
+def test_sharded_loaders_concat_to_global(dataset_root, use_native_masks):
+    """Multi-host feeding (cli/main.py --multihost): loader shards emit
+    contiguous slices of every global batch, with shuffle and mask draws
+    seeded shard-independently, so concatenating the shards reproduces the
+    unsharded loader bit-for-bit — each host decodes only 1/S of the JPEGs.
+    Covers two epochs (lockstep reshuffle) and a ragged final batch
+    (drop_last=False, array_split sizing). None -> auto mask path (native
+    kernel when built)."""
+    ds = Places365(dataset_root, "train.txt", CFG)
+    kw = dict(batch_size=5, num_workers=2, seed=7, drop_last=False,
+              use_native_masks=use_native_masks)
+    loader = Places365Loader(ds, **kw)
+    shards = [Places365Loader(ds, num_shards=2, shard_id=s, **kw)
+              for s in range(2)]
+    for _ in range(2):  # epochs advance in lockstep (fresh __iter__ each)
+        global_batches = list(loader)
+        shard_batches = [list(s) for s in shards]
+        assert len(global_batches) == 3  # 12 samples / batch 5 -> 5,5,2
+        assert all(len(sb) == 3 for sb in shard_batches)
+        for gb, ab, bb in zip(global_batches, *shard_batches):
+            n = gb["images"].shape[0]
+            assert ab["images"].shape[0] == -(-n // 2)  # contiguous split
+            for key in ("images", "labels"):
+                np.testing.assert_array_equal(
+                    np.concatenate([ab[key], bb[key]]), gb[key])
+            for gm, am, bm in zip(gb["masks"], ab["masks"], bb["masks"]):
+                np.testing.assert_array_equal(np.concatenate([am, bm]), gm)
+
+
+def test_loader_shard_validation():
+    with pytest.raises(ValueError):
+        Places365Loader(None, batch_size=4, num_shards=2, shard_id=2)
