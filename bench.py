@@ -262,6 +262,11 @@ def serving_bench(args) -> None:
 
 
 def main():
+    from semantic_pyramid_for_image_generation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # reruns skip the multi-minute XLA compile
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--steps", type=int, default=8)

@@ -118,6 +118,12 @@ def main(argv=None) -> int:
 
     import jax
 
+    from semantic_pyramid_for_image_generation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # reruns skip the multi-minute XLA compile
+
     if args.device == "cpu":
         # env vars are too late here (this image's sitecustomize imports jax
         # at interpreter startup); switch via config instead

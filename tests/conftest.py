@@ -27,6 +27,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall clock is dominated by
+# CPU XLA compiles of the same programs every run; cache hits cut reruns
+# substantially. Keys are HLO hashes, so code changes recompile automatically.
+# Disable with SPIG_JAX_CACHE=0.
+from semantic_pyramid_for_image_generation_tpu.utils.cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
