@@ -35,7 +35,9 @@ from semantic_pyramid_for_image_generation_tpu.utils.cache import (  # noqa: E40
     enable_compilation_cache,
 )
 
-enable_compilation_cache()
+# low threshold: the suite is many small CPU compiles (sub-5s each) — with
+# the entry-point default none would persist and reruns would recompile all
+enable_compilation_cache(min_compile_secs=0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
