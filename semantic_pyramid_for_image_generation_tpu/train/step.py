@@ -69,6 +69,7 @@ def make_train_step(
     donate: bool = True,
     remat_vgg: bool = False,
     fused_discriminator: bool = False,
+    spectral_update: bool = True,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted `(state, batch, rng) -> (state, metrics)` step.
 
@@ -79,7 +80,16 @@ def make_train_step(
     fused_discriminator: perf mode — run D(real ++ fake) as one 2B-batch pass
     in the D phase (identical per-element math, one spectral advance instead
     of two). Requires compat_projection=False: the reference's (B,B,128)
-    broadcast quirk mixes batch rows and cannot be split blockwise.
+    broadcast quirk mixes batch rows and cannot be split blockwise. The ONLY
+    semantic difference from the separate-pass step is that single spectral
+    advance: with spectral updates frozen the two modes produce identical
+    post-update parameters over multiple steps
+    (tests/test_train_step.py::test_fused_discriminator_*).
+
+    spectral_update: test-only switch — False freezes the power-iteration
+    state (every sigma pass reuses stored u/v), isolating batching effects
+    from u-trajectory effects in equivalence tests. Production keeps True
+    (torch advances u on every training-mode forward; SURVEY.md hard part 1).
 
     Spectral norm runs as a batched sigma pass per forward
     (ops/spectral_norm.py::compute_sigma_tree): same per-layer math and u/v
@@ -101,15 +111,21 @@ def make_train_step(
         b = images.shape[0]
         rng = jax.random.fold_in(rng, state.step)
         rng_d, rng_g = jax.random.split(rng)
+        # test-only injection hook (tests/test_full_step_parity.py): a batch
+        # may pin the per-phase latent draws so a trajectory can be replayed
+        # against the live reference loop with identical noise
+        inject_noise_d = batch.get("noise_d")
+        inject_noise_g = batch.get("noise_g")
 
         # ---- shared frozen-VGG pyramid of the real batch (model_wrapper 144-145)
         features_real = vgg.apply({"params": state.vgg_params}, images)
         features_real = [jax.lax.stop_gradient(f) for f in features_real]
 
         # ---- discriminator phase -----------------------------------------
-        noise_d = jax.random.normal(rng_d, (b, latent_dim), jnp.float32)
+        noise_d = (jax.random.normal(rng_d, (b, latent_dim), jnp.float32)
+                   if inject_noise_d is None else inject_noise_d)
         g_sigmas_1, g_spectral = compute_sigma_tree(
-            state.g_params, state.g_spectral, update=True)
+            state.g_params, state.g_spectral, update=spectral_update)
         fake_d, g_mut = generator.apply(
             {"params": state.g_params, "spectral": state.g_spectral,
              "batch_stats": state.g_batch_stats, "sigmas": g_sigmas_1},
@@ -120,7 +136,7 @@ def make_train_step(
 
         def d_loss_fn(d_params):
             d_sigmas_1, d_spec_1 = compute_sigma_tree(
-                d_params, state.d_spectral, update=True)
+                d_params, state.d_spectral, update=spectral_update)
             if fused_discriminator:
                 pred = discriminator.apply(
                     {"params": d_params, "spectral": state.d_spectral,
@@ -135,7 +151,7 @@ def make_train_step(
                      "sigmas": d_sigmas_1},
                     images, labels, train=True)
                 d_sigmas_2, d_spec_2 = compute_sigma_tree(
-                    d_params, d_spec_1, update=True)
+                    d_params, d_spec_1, update=spectral_update)
                 pred_fake = discriminator.apply(
                     {"params": d_params, "spectral": d_spec_1,
                      "sigmas": d_sigmas_2},
@@ -151,18 +167,19 @@ def make_train_step(
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- generator phase (sees the UPDATED discriminator) -------------
-        noise_g = jax.random.normal(rng_g, (b, latent_dim), jnp.float32)
+        noise_g = (jax.random.normal(rng_g, (b, latent_dim), jnp.float32)
+                   if inject_noise_g is None else inject_noise_g)
 
         def g_loss_fn(g_params):
             g_sigmas_2, g_spec_2 = compute_sigma_tree(
-                g_params, g_spectral, update=True)
+                g_params, g_spectral, update=spectral_update)
             fake, g_mut2 = generator.apply(
                 {"params": g_params, "spectral": g_spectral,
                  "batch_stats": g_batch_stats, "sigmas": g_sigmas_2},
                 noise_g, features_real, masks, labels, train=True,
                 mutable=["batch_stats"])
             d_sigmas_3, d_spec_3 = compute_sigma_tree(
-                d_params, d_spectral, update=True)
+                d_params, d_spectral, update=spectral_update)
             pred_fake = discriminator.apply(
                 {"params": d_params, "spectral": d_spectral,
                  "sigmas": d_sigmas_3},

@@ -67,10 +67,53 @@ def _install_stubs() -> None:
             assert not pretrained
             return _TorchvisionVGG16()
 
+        def inception_v3(pretrained=True, transform_input=False):
+            """Executing stand-in for torchvision inception_v3 so the
+            reference's InceptionNetworkFID (frechet_inception_distance.py:22)
+            runs live: the torch_inception mirror exposes Mixed_7c for the
+            reference's forward hook and runs the genuine architecture.
+            `pretrained` weights do not exist on this host — parity tests
+            convert the mirror's (seeded random) weights to both frameworks."""
+            assert not transform_input
+            from torch_inception import randomized_mirror
+
+            return randomized_mirror(seed=0)
+
         tv_models.vgg16 = vgg16
+        tv_models.inception_v3 = inception_v3
         torchvision.models = tv_models
+
+        # the reference's data.py / model_wrapper.py also touch
+        # torchvision.transforms.functional (to_tensor) and torchvision.utils
+        # (save_image); minimal functional equivalents so those modules import
+        tv_transforms = types.ModuleType("torchvision.transforms")
+        tv_functional = types.ModuleType("torchvision.transforms.functional")
+
+        def to_tensor(pic):
+            arr = np.asarray(pic, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return torch.from_numpy(np.ascontiguousarray(arr))
+
+        tv_functional.to_tensor = to_tensor
+        tv_transforms.functional = tv_functional
+        tv_utils = types.ModuleType("torchvision.utils")
+
+        def save_image(tensor, fp, nrow=8, **kwargs):
+            raise NotImplementedError(
+                "torchvision.utils.save_image stub: parity tests do not "
+                "exercise the reference grid writer")
+
+        tv_utils.save_image = save_image
+        torchvision.transforms = tv_transforms
+        torchvision.utils = tv_utils
         sys.modules["torchvision"] = torchvision
         sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.transforms"] = tv_transforms
+        sys.modules["torchvision.transforms.functional"] = tv_functional
+        sys.modules["torchvision.utils"] = tv_utils
 
     if "skimage" not in sys.modules:
         skimage = types.ModuleType("skimage")
