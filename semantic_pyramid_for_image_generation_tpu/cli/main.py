@@ -80,7 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(models.py:146-155)")
     p.add_argument("--fused_d", default=False, action="store_true",
                    help="perf mode: one D(real++fake) 2B-batch pass per D "
-                        "phase (implies --canonical_projection)")
+                        "phase (implies --canonical_projection). Identical "
+                        "per-element math; the one semantic difference is a "
+                        "single spectral power-iteration advance per D phase "
+                        "instead of two (proven the only one by "
+                        "tests/test_train_step.py)")
     p.add_argument("--remat_vgg", default=False, action="store_true",
                    help="rematerialize the VGG-fake forward in the G backward "
                         "(bigger per-chip batches)")
