@@ -94,6 +94,35 @@ def main() -> int:
             np.asarray(v.addressable_data(0)), host[k],
             err_msg=f"process-local feed diverged on {k}")
 
+    # ---- eval collectives: validate() + one 7x7 grid (VERDICT r3 item 3) --
+    # All processes participate in the fid_scan and grid dispatches; only the
+    # lead writes artifacts. Ref behavior replaced: DataParallel gather inside
+    # frechet_inception_distance.py:86-90 and the grid loop
+    # (model_wrapper.py:264-294).
+    import os
+    import tempfile
+    import warnings
+
+    from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
+    from semantic_pyramid_for_image_generation_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache(min_compile_secs=0.5)  # share inception compiles
+    val_batches = [synthetic_batch(cfg, 8, np.random.default_rng(7 + i),
+                                   validation=True) for i in range(2)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-backbone FID warning
+        trainer = Trainer(
+            cfg, training_dataset=[], validation_dataset=val_batches,
+            allow_random_fid=True, use_mesh=True,
+            save_data_path=tempfile.mkdtemp(prefix=f"mh_eval_{process_id}_"))
+    fid = trainer.validate(scan_group=2)
+    host["fid"] = float(fid)
+    grid_path = trainer.inference(num_images=2)
+    if jax.process_index() == 0:
+        assert grid_path is not None and os.path.isfile(grid_path), grid_path
+
     print("METRICS " + json.dumps(host, sort_keys=True), flush=True)
     jax.distributed.shutdown()
     return 0

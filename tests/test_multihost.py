@@ -5,7 +5,10 @@ The README claims pod scaling via --multihost -> jax.distributed.initialize()
 processes, each with 4 virtual CPU devices, joins them into one JAX
 distributed runtime, and runs ONE fused G/D train step over the global
 8-device data mesh with cross-process collectives (gloo standing in for
-ICI/DCN). Asserts finite, process-identical losses.
+ICI/DCN). Asserts finite, process-identical losses. The worker then also
+runs Trainer.validate() (fid_scan over the global mesh) and one 7x7
+inference grid — the eval collectives VERDICT r3 flagged as untested —
+asserting a process-identical FID and a lead-process grid artifact.
 
 Reference anchor: /root/reference/main.py:91-94 — its single parallelism
 mechanism (nn.DataParallel) works when invoked; ours must too.
@@ -58,7 +61,7 @@ def test_two_process_distributed_train_step():
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1200)
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
