@@ -261,6 +261,129 @@ def serving_bench(args) -> None:
     }))
 
 
+def scan_steps_bench(args) -> None:
+    """Dispatch-free train-step lane (VERDICT r3 item 5): package `--steps`
+    full train steps into ONE lax.scan (state donated, carried on device), so
+    the headline device rate is decoupled from the relay's seconds-per-call
+    dispatch/sync cost — the same packaging trick serving_bench uses. The
+    default per-step lane keeps one host sync per step (conservative: couples
+    the number to relay RTT); this lane bounds the pure-chip rate from above.
+    On a real TPU VM the two converge (dispatch is sub-ms there)."""
+    from functools import partial
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state,
+        make_models,
+        make_optimizers,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        make_train_step,
+    )
+
+    use_pallas = args.pallas and jax.default_backend() == "tpu"
+    cfg = PyramidGANConfig(
+        compute_dtype=args.dtype, remat_blocks=args.remat_blocks,
+        channels_factor=args.channel_factor,
+        vgg_width_factor=args.vgg_width_factor,
+        compat_projection=not (args.canonical or args.fused_d))
+    g_tx, d_tx = make_optimizers()
+    state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
+                             use_pallas_attention=use_pallas)
+    generator, discriminator, vgg = make_models(cfg, use_pallas)
+    # donate at the OUTER jit; the inner jitted step inlines into the scan
+    step = make_train_step(generator, discriminator, vgg, g_tx, d_tx,
+                           remat_vgg=args.remat,
+                           fused_discriminator=args.fused_d, donate=False)
+
+    batch = jax.tree.map(
+        jnp.asarray,
+        synthetic_batch(cfg, args.batch_size, np.random.default_rng(0)))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_steps(state, batch, rng):
+        def body(st, _):
+            # the step folds rng with st.step, so noise still varies per step
+            st, metrics = step(st, batch, rng)
+            return st, metrics["loss_generator"]
+
+        state, losses = jax.lax.scan(body, state, None, length=args.steps)
+        return state, losses[-1]
+
+    rng = jax.random.key(1)
+    state, probe = run_steps(state, batch, rng)  # compile + warmup walk
+    float(jax.device_get(probe))
+    t0 = time.perf_counter()
+    state, probe = run_steps(state, batch, rng)
+    final = float(jax.device_get(probe))  # ONE sync for the whole package
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+
+    per_chip = args.batch_size * args.steps / dt / jax.device_count()
+    print(json.dumps({
+        "metric": f"images/sec/chip, 256x256 fused G/D train step, "
+                  f"{args.steps} steps in ONE lax.scan dispatch "
+                  f"(device rate, relay-RTT-free)",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+def vgg_finetune_bench(args) -> None:
+    """On-chip operating point of the second training entry point
+    (cli/vgg16_finetune.py; reference: /root/reference/vgg_16_train.py) —
+    the jitted forward+CE+Adam VGG-16 step on synthetic 256x256 batches.
+    VERDICT r3 weak 7: the lane was CPU drive-tested but never timed on TPU."""
+    import optax
+
+    from semantic_pyramid_for_image_generation_tpu.cli.vgg16_finetune import (
+        make_finetune_step,
+    )
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.models import VGG16
+
+    cfg = PyramidGANConfig(compute_dtype=args.dtype,
+                           vgg_width_factor=args.vgg_width_factor)
+    model = VGG16(cfg, return_output=True)
+    variables = jax.jit(model.init)(
+        jax.random.key(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32))
+    params = variables["params"]
+    tx = optax.adam(1e-4)  # reference lr (vgg_16_train.py:106)
+    opt_state = tx.init(params)
+    step = make_finetune_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random(
+        (args.batch_size, cfg.image_size, cfg.image_size, 3), np.float32))
+    labels = jnp.asarray(rng.integers(0, cfg.num_classes, args.batch_size))
+
+    key = jax.random.key(1)
+    for _ in range(args.warmup):
+        params, opt_state, loss, top1 = step(params, opt_state, images,
+                                             labels, key, jnp.float32(1.0))
+    float(jax.device_get(loss))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        params, opt_state, loss, top1 = step(params, opt_state, images,
+                                             labels, key, jnp.float32(1.0))
+        float(jax.device_get(loss))  # relay-reliable sync (see main lane)
+    dt = time.perf_counter() - t0
+
+    per_chip = args.batch_size * args.steps / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "images/sec/chip, 256x256 VGG16 fine-tune step "
+                  "(fwd + CE + Adam, cli/vgg16_finetune.py)",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
 def main():
     from semantic_pyramid_for_image_generation_tpu.utils.cache import (
         enable_compilation_cache,
@@ -297,6 +420,15 @@ def main():
     parser.add_argument("--trainer", action="store_true", default=False,
                         help="measure the REAL Trainer.train loop host-fed "
                              "(production path, batched metric fetches)")
+    parser.add_argument("--scan-steps", dest="scan_steps",
+                        action="store_true", default=False,
+                        help="package --steps train steps into one lax.scan "
+                             "dispatch: the pure device rate, decoupled from "
+                             "the relay's per-call dispatch/sync cost")
+    parser.add_argument("--vgg-finetune", dest="vgg_finetune",
+                        action="store_true", default=False,
+                        help="time the VGG16 fine-tune step on-chip "
+                             "(cli/vgg16_finetune.py's jitted CE+Adam update)")
     parser.add_argument("--serving", action="store_true", default=False,
                         help="measure the eval-mode generation path "
                              "(cli/generate.py hot loop) chip-side; use "
@@ -322,6 +454,12 @@ def main():
         return
     if args.trainer:
         trainer_bench(args)
+        return
+    if args.scan_steps:
+        scan_steps_bench(args)
+        return
+    if args.vgg_finetune:
+        vgg_finetune_bench(args)
         return
     if args.serving:
         serving_bench(args)

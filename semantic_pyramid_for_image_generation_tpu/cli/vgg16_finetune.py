@@ -60,6 +60,34 @@ class AverageMeter:
         return self.sum / max(self.count, 1)
 
 
+def make_finetune_step(model, tx):
+    """The jitted fine-tune update: forward + CE + Adam in one program
+    (the loop body of /root/reference/vgg_16_train.py:134-179). `lr_scale`
+    threads the /10-every-30-epochs decay without recompiles. Shared by the
+    training loop below and bench.py's --vgg-finetune lane."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, images, labels, rng, lr_scale):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, images, train=True,
+                                 rngs={"dropout": rng})
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels)
+            return jnp.mean(ce), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return params, opt_state, loss, top1
+
+    return train_step
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -111,21 +139,7 @@ def main(argv=None) -> int:
     def epoch_lr_scale(epoch: int) -> float:
         return 0.1 ** (epoch // 30)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, images, labels, rng, lr_scale):
-        def loss_fn(p):
-            logits = model.apply({"params": p}, images, train=True,
-                                 rngs={"dropout": rng})
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits.astype(jnp.float32), labels)
-            return jnp.mean(ce), logits
-
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
-        top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return params, opt_state, loss, top1
+    train_step = make_finetune_step(model, tx)
 
     @jax.jit
     def eval_step(params, images, labels):
