@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_resume", type=str, default=None,
                    help="models dir to auto-restore the newest checkpoint from")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compat_inference_indices", default=False,
+                   action="store_true",
+                   help="bug-compat: draw the 7 grid samples from "
+                        "range(n_val_batches) like the reference "
+                        "(model_wrapper.py:258-260 indexes the dataset with "
+                        "indices drawn from len(dataloader)); default draws "
+                        "from the whole validation set")
     # --- perf modes (OPTIM.md measured; defaults preserve reference parity) ---
     p.add_argument("--canonical_projection", default=False, action="store_true",
                    help="canonical (B,1) projection-discriminator head instead "
@@ -211,7 +218,8 @@ def main(argv=None) -> int:
         g_variables=g_variables, d_variables=d_variables,
         vgg_variables=vgg_variables,
         inception_variables=inception_variables,
-        allow_random_fid=args.allow_random_fid)
+        allow_random_fid=args.allow_random_fid,
+        compat_inference_indices=args.compat_inference_indices)
 
     if g_moments is not None or d_moments is not None:
         trainer.import_adam_moments(g_moments, d_moments)

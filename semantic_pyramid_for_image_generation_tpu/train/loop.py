@@ -87,10 +87,12 @@ class Trainer:
         g_variables=None,
         d_variables=None,
         vgg_variables=None,
+        compat_inference_indices: bool = False,
     ) -> None:
         self.config = config
         self.training_dataset = training_dataset
         self.validation_dataset = validation_dataset
+        self.compat_inference_indices = compat_inference_indices
         self.w_rec, self.w_div = w_rec, w_div
         self.g_tx, self.d_tx = make_optimizers(lr)
         self.generator, self.discriminator, self.vgg = make_models(
@@ -387,8 +389,18 @@ class Trainer:
         if ds is not None and hasattr(ds, "sample") and len(ds) > 0:
             from concurrent.futures import ThreadPoolExecutor
 
+            pool_n = len(ds)
+            if self.compat_inference_indices:
+                # reference quirk 2.8.5 (model_wrapper.py:258-260): indices
+                # drawn from range(len(dataloader)) — the BATCH COUNT — so
+                # only the first n_batches dataset items ever appear in grids
+                bs = getattr(self.validation_dataset, "batch_size", None)
+                if bs:
+                    drop = getattr(self.validation_dataset, "drop_last", False)
+                    nb = len(ds) // bs if drop else -(-len(ds) // bs)
+                    pool_n = max(1, min(pool_n, nb))
             pick = np.random.default_rng((self.seed, self.samples_seen))
-            idx = pick.choice(len(ds), size=min(num_images, len(ds)),
+            idx = pick.choice(pool_n, size=min(num_images, pool_n),
                               replace=False)
             with ThreadPoolExecutor(len(idx)) as pool:  # parallel PIL decode
                 samples = list(pool.map(

@@ -170,3 +170,43 @@ def test_batched_grid_matches_looped_dispatches(tmp_path):
     save_inference_grid(stack, want_path)
     with open(path, "rb") as f_got, open(want_path, "rb") as f_want:
         assert f_got.read() == f_want.read()
+
+
+def test_compat_inference_indices_restricts_draw_pool():
+    """Opt-in reproduction of reference quirk 2.8.5 (model_wrapper.py:258-260):
+    grid samples are drawn from range(len(dataloader)) — the BATCH COUNT — so
+    only the first n_batches validation items can ever appear. Default mode
+    draws from the whole validation set (the reference's evident intent)."""
+    from semantic_pyramid_for_image_generation_tpu.train.loop import Trainer
+
+    class _DS:
+        def __len__(self):
+            return 100
+
+        def sample(self, i, rng):
+            # pixel value encodes the drawn index so the test can observe it
+            return (np.full((4, 4, 3), float(i), np.float32),
+                    np.eye(10, dtype=np.float32)[i % 10])
+
+    class _Loader:
+        dataset = _DS()
+        batch_size = 8
+        drop_last = False
+
+    tr = Trainer.__new__(Trainer)  # unit-test the draw without model init
+    tr.validation_dataset = _Loader()
+    tr.seed = 0
+    tr.samples_seen = 0
+    tr.compat_inference_indices = True
+    n_batches = -(-100 // 8)  # 13
+
+    for s in range(10):
+        tr.samples_seen = s
+        images, labels = tr._draw_inference_samples(7)
+        assert images.shape[0] == 7 and labels.shape == (7, 10)
+        assert images.max() < n_batches, "compat draw escaped the batch pool"
+
+    tr.compat_inference_indices = False
+    top = max(float(tr._draw_inference_samples(7)[0].max())
+              for tr.samples_seen in range(30))
+    assert top >= n_batches, "default draw should cover the whole dataset"
