@@ -6,6 +6,8 @@ Modes:
   orbax-to-pt   orbax TrainState dir -> reference-format checkpoint .pt
                 (pass --lr: torch adopts the exported param_groups' lr)
   vgg-pt        VGG .pt (state dict OR whole-model pickle) -> orbax params
+  vgg-to-pt     orbax VGG params (cli/vgg16_finetune.py output) ->
+                reference-loadable .pt state dict (main.py:61 consumes it)
   inception-pt  torchvision inception_v3 .pth state dict -> orbax FID params
 """
 
@@ -19,7 +21,7 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("mode", choices=["pt-to-orbax", "orbax-to-pt", "vgg-pt",
-                                    "inception-pt"])
+                                    "vgg-to-pt", "inception-pt"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--channel_factor", type=float, default=1.0)
@@ -86,6 +88,18 @@ def main(argv=None) -> int:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(args.dst), variables)
         print(f"wrote orbax Inception FID-backbone params {args.dst}")
+    elif args.mode == "vgg-to-pt":
+        import torch
+
+        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+            export_vgg16_state_dict,
+        )
+
+        with ocp.StandardCheckpointer() as ckptr:
+            variables = ckptr.restore(os.path.abspath(args.src))
+        torch.save(export_vgg16_state_dict(variables), args.dst)
+        print(f"wrote reference-loadable VGG16 state dict {args.dst} "
+              "(main.py:61 / VGG16().load_state_dict)")
     else:  # vgg-pt
         from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
             convert_vgg16_state_dict,

@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="pre_trained_models/vgg_places_365.pt",
                    help=".pt start point (caffe2pytorchvgg16 output)")
     p.add_argument("--save_dir", type=str, default="vgg16_finetune")
+    p.add_argument("--export_pt", type=str, default=None,
+                   help="also write the best params as a reference-loadable "
+                        ".pt state dict (vgg16.* keys; the artifact "
+                        "/root/reference/main.py:61 consumes as "
+                        "vgg_places_365_fine_tuned.pt)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--evaluate_only", action="store_true")
@@ -221,6 +226,20 @@ def main(argv=None) -> int:
                 best_prec1 = prec1
                 ckptr.save(os.path.abspath(
                     os.path.join(args.save_dir, "best")), params, force=True)
+                if args.export_pt:
+                    import torch
+
+                    from semantic_pyramid_for_image_generation_tpu.utils \
+                        .pt_interop import export_vgg16_state_dict
+
+                    if args.vgg_width_factor != 1:
+                        raise SystemExit(
+                            "--export_pt needs full-width VGG16 "
+                            "(--vgg_width_factor 1): the reference loads "
+                            "torchvision shapes")
+                    torch.save(export_vgg16_state_dict({"params": params}),
+                               args.export_pt)
+                    print(f"exported reference-loadable {args.export_pt}")
     return 0
 
 

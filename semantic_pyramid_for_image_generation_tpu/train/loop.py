@@ -34,7 +34,6 @@ from semantic_pyramid_for_image_generation_tpu.eval.grid import (
 )
 from semantic_pyramid_for_image_generation_tpu.parallel.mesh import (
     _put_global,
-    batch_sharding,
     make_mesh,
     replicated_sharding,
     shard_batch,

@@ -196,6 +196,37 @@ def convert_vgg16_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def export_vgg16_state_dict(variables: Mapping[str, Any],
+                            prefix: str = "vgg16.") -> Dict[str, Any]:
+    """flax VGG16 variables -> reference-loadable torch state dict (exact
+    inverse of convert_vgg16_state_dict).
+
+    The default `vgg16.` prefix matches the reference wrapper module
+    (/root/reference/models.py:174-181), so the output loads directly via
+    `VGG16().load_state_dict(torch.load(path))` — the consumption path at
+    /root/reference/main.py:61. This closes the fine-tune interop loop: a VGG
+    fine-tuned with cli/vgg16_finetune.py can go back to the reference.
+    Tensors are copied (torch mutates buffers in place)."""
+    import torch
+
+    params = _flat(variables.get("params", variables))
+    sd: Dict[str, Any] = {}
+
+    def _pt(arr):
+        return torch.from_numpy(np.ascontiguousarray(arr).copy())
+
+    for i in (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28):
+        sd[f"{prefix}features.{i}.weight"] = _pt(
+            params[f"features_{i}/kernel"].transpose(3, 2, 0, 1))
+        sd[f"{prefix}features.{i}.bias"] = _pt(params[f"features_{i}/bias"])
+    for i in (0, 3, 6):
+        sd[f"{prefix}classifier.{i}.weight"] = _pt(
+            params[f"classifier_{i}/kernel"].T)
+        sd[f"{prefix}classifier.{i}.bias"] = _pt(
+            params[f"classifier_{i}/bias"])
+    return sd
+
+
 _BUFFER_SUFFIXES = ("weight_u", "weight_v", "running_mean", "running_var",
                     "num_batches_tracked")
 

@@ -202,3 +202,49 @@ def test_adam_moment_import_empty_state_is_none():
 
     assert convert_adam_moments({"state": {}, "param_groups": []}, {},
                                 convert_discriminator_state_dict) is None
+
+
+def test_vgg16_export_roundtrip_and_reference_strict_load():
+    """export_vgg16_state_dict is the exact inverse of
+    convert_vgg16_state_dict, and its output loads STRICT into the live
+    reference wrapper — the /root/reference/main.py:61 consumption path
+    (`VGG16().load_state_dict(torch.load(...))`) for a VGG fine-tuned with
+    cli/vgg16_finetune.py (--export_pt / convert_checkpoint vgg-to-pt)."""
+    import torch
+
+    from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+        convert_vgg16_state_dict,
+        export_vgg16_state_dict,
+    )
+
+    torch.manual_seed(1)
+    conv_plan = {  # torchvision vgg16 conv indices -> (out, in)
+        0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128),
+        10: (256, 128), 12: (256, 256), 14: (256, 256),
+        17: (512, 256), 19: (512, 512), 21: (512, 512),
+        24: (512, 512), 26: (512, 512), 28: (512, 512),
+    }
+    fc_plan = {0: (4096, 25088), 3: (4096, 4096), 6: (365, 4096)}
+    tv_sd = {}
+    for i, (o, c) in conv_plan.items():
+        tv_sd[f"features.{i}.weight"] = torch.randn(o, c, 3, 3)
+        tv_sd[f"features.{i}.bias"] = torch.randn(o)
+    for i, (o, c) in fc_plan.items():
+        tv_sd[f"classifier.{i}.weight"] = torch.randn(o, c)
+        tv_sd[f"classifier.{i}.bias"] = torch.randn(o)
+
+    variables = convert_vgg16_state_dict(tv_sd)
+    exported = export_vgg16_state_dict(variables)
+    assert all(k.startswith("vgg16.") for k in exported)
+    # exact inverse: converting the export reproduces the flax variables
+    _trees_equal(convert_vgg16_state_dict(exported)["params"],
+                 variables["params"])
+    # byte-level: every exported tensor equals the original torchvision one
+    for key, value in tv_sd.items():
+        assert torch.equal(exported[f"vgg16.{key}"], value), key
+
+    from torch_ref import import_reference
+
+    ref_models = import_reference("models")
+    vgg_ref = ref_models.VGG16()  # 365-way head, as in the reference
+    vgg_ref.load_state_dict(exported)  # strict: full key/shape agreement
