@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "standard FID); without this flag, --test/validation "
                         "requires --load_inception")
     p.add_argument("--fid_images", type=int, default=6000)
+    p.add_argument("--fid_device_stats", default=False, action="store_true",
+                   help="finish the FID moments -> scalar reduction on "
+                        "device (f32 eigh) instead of host f64 scipy; one "
+                        "scalar crosses to host instead of 34 MB of moments")
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--vgg_width_factor", type=int, default=1,
                    help="debug: divide VGG widths (CPU-scale smoke runs)")
@@ -219,6 +223,7 @@ def main(argv=None) -> int:
         vgg_variables=vgg_variables,
         inception_variables=inception_variables,
         allow_random_fid=args.allow_random_fid,
+        fid_device_stats=args.fid_device_stats,
         compat_inference_indices=args.compat_inference_indices)
 
     if g_moments is not None or d_moments is not None:

@@ -65,6 +65,45 @@ def fid_from_statistics(mu_real: np.ndarray, cov_real: np.ndarray,
                  - 2.0 * np.trace(cov_mean))
 
 
+def trace_sqrtm_product(cov_real: jax.Array, cov_fake: jax.Array) -> jax.Array:
+    """tr(sqrtm(Σr·Σf)) fully on device — the one term of the FID formula the
+    reference computes with host scipy (frechet_inception_distance.py:117).
+
+    Uses tr sqrtm(Σr Σf) = tr sqrtm(Σf^{1/2} Σr Σf^{1/2}): the inner matrix is
+    symmetric PSD, so two jnp.linalg.eigh decompositions (which XLA lowers on
+    TPU) replace the general-matrix scipy sqrtm, and the trace is the sum of
+    clipped-eigenvalue square roots — no imaginary parts to strip by
+    construction."""
+    w_f, v_f = jnp.linalg.eigh(cov_fake)
+    sqrt_f = (v_f * jnp.sqrt(jnp.clip(w_f, 0.0, None))) @ v_f.T
+    m = sqrt_f @ cov_real @ sqrt_f
+    w = jnp.linalg.eigh(0.5 * (m + m.T))[0]
+    return jnp.sum(jnp.sqrt(jnp.clip(w, 0.0, None)))
+
+
+@jax.jit
+def fid_from_moments_device(n: jax.Array,
+                            s1_real: jax.Array, s2_real: jax.Array,
+                            s1_fake: jax.Array, s2_fake: jax.Array) -> jax.Array:
+    """The whole moments -> FID-scalar reduction as one jittable device
+    program (statistics_from_moments + fid_from_statistics, but on device):
+    only ONE scalar crosses to the host instead of the 34 MB of moments.
+
+    Tradeoff vs the host path: the single-pass covariance cancellation and
+    the eigendecompositions run in float32 (TPU has no fast f64), where the
+    host path deliberately uses f64 (see statistics_from_moments). Parity of
+    the composed scalar is pinned by test_fid.py at realistic activation
+    scales; the host path stays the default."""
+    n = jnp.asarray(n, jnp.float32)
+    mu_r = s1_real / n
+    cov_r = (s2_real - n * jnp.outer(mu_r, mu_r)) / jnp.maximum(n - 1.0, 1.0)
+    mu_f = s1_fake / n
+    cov_f = (s2_fake - n * jnp.outer(mu_f, mu_f)) / jnp.maximum(n - 1.0, 1.0)
+    diff = mu_r - mu_f
+    return (diff @ diff + jnp.trace(cov_r) + jnp.trace(cov_f)
+            - 2.0 * trace_sqrtm_product(cov_r, cov_f))
+
+
 def fid_from_activations(real: np.ndarray, fake: np.ndarray) -> float:
     mu_r, cov_r = np.mean(real, axis=0), np.cov(real, rowvar=False)
     mu_f, cov_f = np.mean(fake, axis=0), np.cov(fake, rowvar=False)
@@ -99,7 +138,13 @@ class FIDEvaluator:
     """
 
     def __init__(self, inception_variables: Optional[Dict[str, Any]] = None,
-                 dtype: str = "float32", allow_random: bool = False):
+                 dtype: str = "float32", allow_random: bool = False,
+                 device_statistics: bool = False):
+        # device_statistics=True finishes the moments -> FID reduction on
+        # device (fid_from_moments_device): one scalar crosses to host instead
+        # of 34 MB of moments + scipy sqrtm. f32 statistics — see the
+        # tradeoff note on fid_from_moments_device; default stays host/f64.
+        self.device_statistics = device_statistics
         self.model = InceptionV3Features(dtype=jnp.dtype(dtype))
         self.random_init = inception_variables is None
         if inception_variables is None:
@@ -258,6 +303,14 @@ class FIDEvaluator:
                 pending = []
         if pending:
             flush(pending)
+        return self._reduce_moments(n_total, totals)
+
+    def _reduce_moments(self, n_total: int, totals) -> float:
+        """moments -> FID scalar, on host (f64, default) or fully on device
+        (f32, one scalar crosses instead of 34 MB of moments)."""
+        if self.device_statistics:
+            return float(jax.device_get(
+                fid_from_moments_device(n_total, *totals)))
         s1r, s2r, s1f, s2f = jax.device_get(totals)
         mu_r, cov_r = statistics_from_moments(n_total, s1r, s2r)
         mu_f, cov_f = statistics_from_moments(n_total, s1f, s2f)
@@ -283,8 +336,4 @@ class FIDEvaluator:
             else:
                 s1_r, s2_r = s1_r + d_r[0], s2_r + d_r[1]
                 s1_f, s2_f = s1_f + d_f[0], s2_f + d_f[1]
-        mu_r, cov_r = statistics_from_moments(
-            n_total, np.asarray(s1_r), np.asarray(s2_r))
-        mu_f, cov_f = statistics_from_moments(
-            n_total, np.asarray(s1_f), np.asarray(s2_f))
-        return fid_from_statistics(mu_r, cov_r, mu_f, cov_f)
+        return self._reduce_moments(n_total, (s1_r, s2_r, s1_f, s2_f))

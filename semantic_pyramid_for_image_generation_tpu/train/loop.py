@@ -83,6 +83,7 @@ class Trainer:
         state: Optional[TrainState] = None,
         inception_variables=None,
         allow_random_fid: bool = False,
+        fid_device_stats: bool = False,
         g_variables=None,
         d_variables=None,
         vgg_variables=None,
@@ -124,7 +125,8 @@ class Trainer:
             remat_vgg=remat_vgg, fused_discriminator=fused_discriminator)
         self.generate_fn = make_generate_fn(self.generator, self.vgg)
         self.fid_evaluator = FIDEvaluator(inception_variables,
-                                          allow_random=allow_random_fid)
+                                          allow_random=allow_random_fid,
+                                          device_statistics=fid_device_stats)
         if self.mesh is not None:
             # eval inputs to a global-mesh jit must be global arrays: pin the
             # inception backbone replicated on the mesh (multi-process safe)
