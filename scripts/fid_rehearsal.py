@@ -118,23 +118,42 @@ def main() -> int:
         return carry
 
     from semantic_pyramid_for_image_generation_tpu.eval.fid import (
+        fid_from_moments_device,
         fid_from_statistics,
         statistics_from_moments,
     )
 
     t_compile = time.perf_counter()
-    moments = jax.device_get(fid_moments_pass(
-        evaluator.variables, state, stacked, keys, idx))
+    dev_moments = fid_moments_pass(
+        evaluator.variables, state, stacked, keys, idx)
+    float(jax.device_get(dev_moments[0][0]))  # relay-reliable sync
     compile_and_run_s = time.perf_counter() - t_compile
     t0 = time.perf_counter()
-    moments = jax.device_get(fid_moments_pass(
-        evaluator.variables, state, stacked, keys, idx))
+    dev_moments = fid_moments_pass(
+        evaluator.variables, state, stacked, keys, idx)
+    float(jax.device_get(dev_moments[0][0]))
     dt = time.perf_counter() - t0
-    s1r, s2r, s1f, s2f = moments
+    print(f"first call (compile+run) {compile_and_run_s:.1f}s", flush=True)
+
+    # Statistics stage, both ways (VERDICT r4 lever: --fid_device_stats).
+    # Host path: fetch 34 MB of moments over the relay, f64 numpy stats,
+    # scipy general-matrix sqrtm on the 1-core host.
+    t0 = time.perf_counter()
+    s1r, s2r, s1f, s2f = jax.device_get(dev_moments)
     mu_r, cov_r = statistics_from_moments(n_images, s1r, s2r)
     mu_f, cov_f = statistics_from_moments(n_images, s1f, s2f)
     fid = fid_from_statistics(mu_r, cov_r, mu_f, cov_f)
-    print(f"first call (compile+run) {compile_and_run_s:.1f}s", flush=True)
+    stats_host_s = time.perf_counter() - t0
+    # Device path: eigh-based tr-sqrtm on chip, ONE f32 scalar crosses.
+    fid_dev_first = float(jax.device_get(fid_from_moments_device(
+        n_images, *dev_moments)))  # includes compile
+    t0 = time.perf_counter()
+    fid_dev = float(jax.device_get(fid_from_moments_device(
+        n_images, *dev_moments)))
+    stats_device_s = time.perf_counter() - t0
+    assert np.isfinite(fid_dev_first)
+    print(f"stats host {stats_host_s:.1f}s (fid={fid:.4f})  "
+          f"device {stats_device_s:.1f}s (fid={fid_dev:.4f})", flush=True)
 
     mem = {}
     try:
@@ -148,9 +167,12 @@ def main() -> int:
         "metric": f"FID-{n_images} rehearsal wall-clock (VGG+G+Inception "
                   "on-chip, single-dispatch scan, sqrtm on host)",
         "fid": round(fid, 4),
+        "fid_device_stats": round(fid_dev, 4),
         "images": n_images,
         "batch": args.batch,
         "wall_s": round(dt, 1),
+        "stats_host_s": round(stats_host_s, 1),
+        "stats_device_s": round(stats_device_s, 2),
         "images_per_sec": round(2 * n_images / dt, 1),  # real + fake passes
         "memory": mem,
     }))
