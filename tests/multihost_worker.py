@@ -117,8 +117,18 @@ def main() -> int:
             cfg, training_dataset=[], validation_dataset=val_batches,
             allow_random_fid=True, use_mesh=True,
             save_data_path=tempfile.mkdtemp(prefix=f"mh_eval_{process_id}_"))
+    eval_rng = trainer.rng  # validate() splits self.rng; pin for the rerun
     fid = trainer.validate(scan_group=2)
     host["fid"] = float(fid)
+    # the on-device statistics reduction must also work on a multi-process
+    # mesh (global moment arrays in, one replicated scalar out) and agree
+    # with the host f64 reduction on identical fakes (same rng)
+    trainer.rng = eval_rng
+    trainer.fid_evaluator.device_statistics = True
+    fid_dev = trainer.validate(scan_group=2)
+    trainer.fid_evaluator.device_statistics = False
+    np.testing.assert_allclose(fid_dev, fid, rtol=1e-3, atol=1e-3)
+    host["fid_device_stats"] = float(fid_dev)
     grid_path = trainer.inference(num_images=2)
     if jax.process_index() == 0:
         assert grid_path is not None and os.path.isfile(grid_path), grid_path
