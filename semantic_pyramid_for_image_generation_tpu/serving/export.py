@@ -1,0 +1,208 @@
+"""AOT serving export: the generation path as a hermetic StableHLO artifact.
+
+The reference deploys by shipping its Python model code plus a
+`checkpoint_XXX.pt` and re-instantiating torch modules at load time
+(/root/reference/model_wrapper.py:215-223, /root/reference/main.py:60-74) —
+every serving host needs the full source tree and an eval()-able pickle.
+A TPU serving fleet wants the opposite: one version-checked artifact that any
+host with jax can load and run WITHOUT this package on the import path.
+
+`jax.export` gives exactly that. We lower the jitted generate function
+(per-image min-max normalize -> frozen-VGG 7-tap pyramid -> mask gating ->
+eval-mode Generator with the batched spectral-sigma pass,
+train/step.py::make_generate_fn semantics) to StableHLO with all weights
+captured as constants, and serialize it together with its calling
+convention. Callers pass latent noise explicitly, so serving is fully
+deterministic and the artifact contains no PRNG state.
+
+Artifact layout (a directory):
+
+    manifest.json           config echo, batch buckets, shapes/dtypes,
+                            jax version, target platforms
+    generate_b{N}.jaxexp    serialized `jax.export.Exported`, one per bucket
+
+TPU serving wants static shapes, so we export one program per requested
+batch size ("bucketing", the standard serving practice) and
+`ServingArtifact.generate` routes a live call to the smallest bucket that
+fits, zero-padding the batch and slicing the output (safe: every per-sample
+path — min-max, VGG, attention, eval-mode BN — is batch-independent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.export
+import jax.numpy as jnp
+import numpy as np
+
+from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+
+_MANIFEST = "manifest.json"
+_FORMAT_VERSION = 1
+
+
+def _generate_spec(config: PyramidGANConfig, batch_size: int):
+    """ShapeDtypeStructs of the exported calling convention:
+    (images, masks 7-tuple, labels, noise) — all float32, shallow->deep mask
+    order exactly as the data pipeline emits them (data/masks.py)."""
+    s = config.image_size
+    images = jax.ShapeDtypeStruct(
+        (batch_size, s, s, config.out_channels), jnp.float32)
+    masks = tuple(
+        jax.ShapeDtypeStruct((batch_size,) + tuple(shape), jnp.float32)
+        for shape in config.mask_shapes)
+    labels = jax.ShapeDtypeStruct((batch_size, config.num_classes),
+                                  jnp.float32)
+    noise = jax.ShapeDtypeStruct((batch_size, config.latent_dim),
+                                 jnp.float32)
+    return images, masks, labels, noise
+
+
+def export_generate(state, config: PyramidGANConfig, batch_size: int,
+                    *, platforms: Optional[Sequence[str]] = None,
+                    use_pallas_attention: bool = False) -> "jax.export.Exported":
+    """Lower + serialize-ready export of the generate path at one batch size.
+
+    Weights (generator params/spectral/batch_stats + frozen VGG) are captured
+    from `state` as constants; the eval-mode spectral sigmas are folded at
+    export time (they are deterministic functions of the captured u/v state,
+    matching make_generate_fn's update=False pass). `platforms` defaults to
+    the current jax backend; pass e.g. ("tpu", "cpu") for a multi-platform
+    artifact.
+    """
+    from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
+        compute_sigma_tree,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        make_models,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        ensure_m11_images,
+    )
+
+    generator, _, vgg = make_models(config, use_pallas_attention)
+    sigmas, _ = compute_sigma_tree(state.g_params, state.g_spectral,
+                                   update=False)
+    g_variables = {"params": state.g_params, "spectral": state.g_spectral,
+                   "batch_stats": state.g_batch_stats, "sigmas": sigmas}
+    vgg_params = state.vgg_params
+
+    def generate(images, masks, labels, noise):
+        images = ensure_m11_images(images)
+        features = vgg.apply({"params": vgg_params}, images)
+        return generator.apply(
+            g_variables, noise, features,
+            [m.astype(jnp.float32) for m in masks],
+            labels.astype(jnp.float32), train=False)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    return jax.export.export(jax.jit(generate), **kwargs)(
+        *_generate_spec(config, batch_size))
+
+
+def save_artifact(state, config: PyramidGANConfig, out_dir: str,
+                  batch_sizes: Sequence[int] = (1,),
+                  *, platforms: Optional[Sequence[str]] = None,
+                  use_pallas_attention: bool = False) -> Dict:
+    """Export one program per batch bucket and write the artifact directory.
+
+    Returns the manifest dict (also written to `<out_dir>/manifest.json`).
+    """
+    buckets = sorted(set(int(b) for b in batch_sizes))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    exported_platforms = None
+    for b in buckets:
+        exported = export_generate(
+            state, config, b, platforms=platforms,
+            use_pallas_attention=use_pallas_attention)
+        exported_platforms = list(exported.platforms)
+        with open(os.path.join(out_dir, f"generate_b{b}.jaxexp"), "wb") as f:
+            f.write(exported.serialize())
+
+    cfg = dataclasses.asdict(config)
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "entry": "generate(images, masks[7], labels, noise) -> fakes",
+        "batch_buckets": buckets,
+        "platforms": exported_platforms,
+        "jax_version": jax.__version__,
+        "config": cfg,
+        "shapes": {
+            "images": [None, config.image_size, config.image_size,
+                       config.out_channels],
+            "masks": [[None] + list(s) for s in config.mask_shapes],
+            "labels": [None, config.num_classes],
+            "noise": [None, config.latent_dim],
+        },
+        "notes": (
+            "masks are the shallow->deep 7-tuple the data pipeline emits "
+            "(data/masks.py); noise is caller-provided N(0,1) so serving is "
+            "deterministic; images may be float in [-1,1] (passed through) "
+            "or any float range (per-image min-max normalized on device)."
+        ),
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServingArtifact:
+    """Loaded artifact: routes `generate` calls to the right batch bucket.
+
+    Deserialization uses only `jax.export` — no model code from this package
+    runs at load time (the class itself lives here for convenience; the
+    manifest documents the layout so third-party loaders can reimplement it
+    in a few lines).
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.manifest['format_version']} != "
+                f"supported {_FORMAT_VERSION}")
+        self.buckets: Dict[int, jax.export.Exported] = {}
+        for b in self.manifest["batch_buckets"]:
+            with open(os.path.join(path, f"generate_b{b}.jaxexp"), "rb") as f:
+                self.buckets[b] = jax.export.deserialize(bytearray(f.read()))
+
+    def bucket_for(self, batch: int) -> int:
+        fitting = [b for b in self.buckets if b >= batch]
+        if not fitting:
+            raise ValueError(
+                f"batch {batch} exceeds largest exported bucket "
+                f"{max(self.buckets)}; re-export with a bigger bucket")
+        return min(fitting)
+
+    def generate(self, images, masks, labels, noise) -> jax.Array:
+        """Run the exported program; zero-pads into the chosen bucket and
+        slices the padding back off (all per-sample compute)."""
+        batch = int(np.shape(images)[0])
+        bucket = self.bucket_for(batch)
+
+        def pad(x):
+            x = jnp.asarray(x, jnp.float32)
+            if bucket == batch:
+                return x
+            widths = [(0, bucket - batch)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        out = self.buckets[bucket].call(
+            pad(images), tuple(pad(m) for m in masks), pad(labels),
+            pad(noise))
+        return out[:batch]
+
+
+def load_artifact(path: str) -> ServingArtifact:
+    return ServingArtifact(path)

@@ -1,0 +1,105 @@
+"""Serving-export artifact: exported program == live generate, bucket routing.
+
+The exported StableHLO program (serving/export.py) must reproduce the live
+`make_generate_fn` path elementwise — same min-max normalize, VGG pyramid,
+mask gating, eval-mode spectral sigmas — and survive a serialize ->
+deserialize round trip, since that is the whole point of the artifact
+(deploy without this package's model code). The reference has no export
+path; its deploy story is re-instantiating torch modules from a pickle
+(/root/reference/main.py:60-74, model_wrapper.py:215-223).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+from semantic_pyramid_for_image_generation_tpu.data.synthetic import (
+    synthetic_batch,
+)
+from semantic_pyramid_for_image_generation_tpu.serving import (
+    export_generate,
+    load_artifact,
+    save_artifact,
+)
+from semantic_pyramid_for_image_generation_tpu.train.state import (
+    init_train_state,
+    make_models,
+    make_optimizers,
+)
+from semantic_pyramid_for_image_generation_tpu.train.step import (
+    make_generate_fn,
+)
+
+CF = 8
+WF = 8
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = PyramidGANConfig(channels_factor=CF, vgg_width_factor=WF)
+    g_tx, d_tx = make_optimizers()
+    state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx)
+    return cfg, state
+
+
+def _example(cfg, batch):
+    ex = synthetic_batch(cfg, batch, np.random.default_rng(1),
+                         validation=True)
+    noise = np.asarray(
+        jax.random.normal(jax.random.key(7), (batch, cfg.latent_dim)),
+        np.float32)
+    return ex, noise
+
+
+def test_exported_matches_live_generate(tiny_setup):
+    cfg, state = tiny_setup
+    ex, noise = _example(cfg, 2)
+
+    generator, _, vgg = make_models(cfg)
+    live = make_generate_fn(generator, vgg)(
+        state, jnp.asarray(ex["images"]),
+        tuple(jnp.asarray(m) for m in ex["masks"]),
+        jnp.asarray(ex["labels"]), jax.random.key(0),
+        noise=jnp.asarray(noise))
+
+    exported = export_generate(state, cfg, batch_size=2)
+    # serialize -> deserialize round trip, as a deployment would
+    restored = jax.export.deserialize(bytearray(exported.serialize()))
+    out = restored.call(
+        jnp.asarray(ex["images"]),
+        tuple(jnp.asarray(m, jnp.float32) for m in ex["masks"]),
+        jnp.asarray(ex["labels"]), jnp.asarray(noise))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_save_load_and_bucket_padding(tmp_path, tiny_setup):
+    cfg, state = tiny_setup
+    out_dir = str(tmp_path / "artifact")
+    manifest = save_artifact(state, cfg, out_dir, batch_sizes=[2, 4])
+    assert manifest["batch_buckets"] == [2, 4]
+
+    art = load_artifact(out_dir)
+    assert art.bucket_for(1) == 2
+    assert art.bucket_for(3) == 4
+    with pytest.raises(ValueError):
+        art.bucket_for(5)
+
+    # batch 3 routes to the 4-bucket: padded rows must not leak into outputs
+    ex, noise = _example(cfg, 3)
+    out3 = np.asarray(art.generate(ex["images"], ex["masks"], ex["labels"],
+                                   noise))
+    assert out3.shape == (3, cfg.image_size, cfg.image_size,
+                          cfg.out_channels)
+
+    generator, _, vgg = make_models(cfg)
+    live = make_generate_fn(generator, vgg)(
+        state, jnp.asarray(ex["images"]),
+        tuple(jnp.asarray(m) for m in ex["masks"]),
+        jnp.asarray(ex["labels"]), jax.random.key(0),
+        noise=jnp.asarray(noise))
+    np.testing.assert_allclose(out3, np.asarray(live), rtol=1e-5, atol=1e-5)
