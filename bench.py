@@ -265,6 +265,87 @@ def serving_bench(args) -> None:
     }))
 
 
+def serving_artifact_bench(args) -> None:
+    """Chip-side throughput of the EXPORTED serving artifact
+    (serving/export.py): export the generate path at --batch_size for the
+    current backend in the production external-weights mode (the program is
+    KB-sized; weights are a runtime argument — baking the full-width ~0.7 GB
+    of constants into the module exceeds the dev relay's remote-compile
+    request limit and bloats compile time everywhere), round-trip it through
+    serialize/deserialize exactly as a deployment would, then time `--steps`
+    calls packaged in ONE lax.scan (identical packaging to serving_bench, so
+    the two lanes are directly comparable — any gap is the artifact-call
+    overhead)."""
+    import jax.export
+
+    from semantic_pyramid_for_image_generation_tpu.config import PyramidGANConfig
+    from semantic_pyramid_for_image_generation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from semantic_pyramid_for_image_generation_tpu.serving import (
+        export_generate,
+    )
+    from semantic_pyramid_for_image_generation_tpu.serving.export import (
+        serving_weights,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        init_train_state,
+        make_optimizers,
+    )
+
+    use_pallas = args.pallas and jax.default_backend() == "tpu"
+    cfg = PyramidGANConfig(compute_dtype=args.dtype,
+                           channels_factor=args.channel_factor,
+                           vgg_width_factor=args.vgg_width_factor)
+    g_tx, d_tx = make_optimizers()
+    state = init_train_state(jax.random.key(0), cfg, g_tx, d_tx,
+                             use_pallas_attention=use_pallas)
+    exported = export_generate(state, cfg, args.batch_size,
+                               use_pallas_attention=use_pallas,
+                               weights="external")
+    blob = exported.serialize()
+    restored = jax.export.deserialize(bytearray(blob))
+    weights = jax.device_put(serving_weights(state))
+
+    batch = jax.tree.map(
+        jnp.asarray,
+        synthetic_batch(cfg, args.batch_size, np.random.default_rng(0),
+                        validation=True))
+    masks = tuple(m.astype(jnp.float32) for m in batch["masks"])
+
+    @jax.jit
+    def scan_calls(weights, images, masks, labels, rng):
+        def body(_, step_rng):
+            noise = jax.random.normal(
+                step_rng, (args.batch_size, cfg.latent_dim), jnp.float32)
+            fake = restored.call(weights, images, masks, labels, noise)
+            return 0.0, fake[0, 0, 0, 0]
+
+        _, probes = jax.lax.scan(
+            body, 0.0, jax.random.split(rng, args.steps))
+        return probes
+
+    run = lambda seed: float(jax.device_get(scan_calls(  # noqa: E731
+        weights, batch["images"], masks, batch["labels"],
+        jax.random.key(seed)))[-1])
+    run(0)  # compile
+    t0 = time.perf_counter()
+    run(1)
+    dt = time.perf_counter() - t0
+
+    n = args.batch_size * args.steps
+    per_chip = n / dt / jax.device_count()
+    print(json.dumps({
+        "metric": f"images/sec/chip, 256x256 serving generate via EXPORTED "
+                  f"StableHLO artifact ({len(blob) / 1e3:.0f} KB program, "
+                  f"external weights, batch {args.batch_size}; "
+                  f"{round(1000.0 * dt / args.steps, 1)} ms/call chip-side)",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / V100_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
 def scan_steps_bench(args) -> None:
     """Dispatch-free train-step lane (VERDICT r3 item 5), the DEFAULT headline
     since round 4: package `--steps` full train steps into ONE lax.scan (state
@@ -444,6 +525,11 @@ def main():
                         help="measure the eval-mode generation path "
                              "(cli/generate.py hot loop) chip-side; use "
                              "--batch_size 1 for the latency operating point")
+    parser.add_argument("--serving-artifact", dest="serving_artifact",
+                        action="store_true", default=False,
+                        help="measure the EXPORTED StableHLO serving "
+                             "artifact (serving/export.py) chip-side; "
+                             "directly comparable to --serving")
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--channel_factor", type=float, default=1.0,
                         help="shrink G/D widths (CPU smoke runs only; the "
@@ -471,6 +557,9 @@ def main():
         return
     if args.serving:
         serving_bench(args)
+        return
+    if args.serving_artifact:
+        serving_artifact_bench(args)
         return
     if args.scan_steps:  # default headline; --per-step for the sync-per-step lane
         scan_steps_bench(args)

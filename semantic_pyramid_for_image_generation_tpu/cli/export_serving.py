@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", type=str, default=None,
                    help="comma-separated lowering targets, e.g. 'tpu,cpu' "
                         "(default: current jax backend)")
+    p.add_argument("--weights", type=str, default="external",
+                   choices=["external", "baked"],
+                   help="'external' (default): KB-sized programs + one "
+                        "weights.npz shared by all buckets; 'baked': "
+                        "self-contained programs with weights as constants")
     p.add_argument("--load_checkpoint", type=str, default=None,
                    help="orbax TrainState dir or reference .pt checkpoint")
     p.add_argument("--load_pretrained_vgg16", type=str, default=None,
@@ -102,10 +107,11 @@ def main(argv=None) -> int:
     manifest = save_artifact(
         state, config, args.out,
         batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
-        platforms=platforms)
+        platforms=platforms, weights=args.weights)
     print(json.dumps({"out": args.out,
                       "batch_buckets": manifest["batch_buckets"],
-                      "platforms": manifest["platforms"]}))
+                      "platforms": manifest["platforms"],
+                      "weights": manifest["weights"]}))
     return 0
 
 

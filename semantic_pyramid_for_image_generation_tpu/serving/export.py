@@ -26,6 +26,19 @@ batch size ("bucketing", the standard serving practice) and
 `ServingArtifact.generate` routes a live call to the smallest bucket that
 fits, zero-padding the batch and slicing the output (safe: every per-sample
 path — min-max, VGG, attention, eval-mode BN — is batch-independent).
+
+Weights ship in one of two modes (`weights=` on export/save):
+
+  * "baked"    — captured as StableHLO constants; one self-contained file
+                 per bucket. Right for small/width-reduced models.
+  * "external" — the program takes the weight pytree as its first argument
+                 and `save_artifact` writes the leaves to `weights.npz`
+                 keyed by pytree path. The program stays KB-sized no matter
+                 the model (the full-width model is ~0.7 GB of fp32 weights
+                 — baking that made the module exceed compiler request
+                 limits on relay-attached dev hosts and bloats compile time
+                 everywhere), weights upload to device once at load, and
+                 buckets share them. The production default.
 """
 
 from __future__ import annotations
@@ -63,21 +76,40 @@ def _generate_spec(config: PyramidGANConfig, batch_size: int):
     return images, masks, labels, noise
 
 
-def export_generate(state, config: PyramidGANConfig, batch_size: int,
-                    *, platforms: Optional[Sequence[str]] = None,
-                    use_pallas_attention: bool = False) -> "jax.export.Exported":
-    """Lower + serialize-ready export of the generate path at one batch size.
-
-    Weights (generator params/spectral/batch_stats + frozen VGG) are captured
-    from `state` as constants; the eval-mode spectral sigmas are folded at
-    export time (they are deterministic functions of the captured u/v state,
-    matching make_generate_fn's update=False pass). `platforms` defaults to
-    the current jax backend; pass e.g. ("tpu", "cpu") for a multi-platform
-    artifact.
-    """
+def serving_weights(state) -> Dict:
+    """The serving-time weight pytree: generator variable collections with
+    the eval-mode spectral sigmas folded in (deterministic function of the
+    captured u/v state, matching make_generate_fn's update=False pass) plus
+    the frozen VGG params. This is everything generation needs — no
+    optimizer or discriminator state."""
     from semantic_pyramid_for_image_generation_tpu.ops.spectral_norm import (
         compute_sigma_tree,
     )
+
+    sigmas, _ = compute_sigma_tree(state.g_params, state.g_spectral,
+                                   update=False)
+    return {
+        "g": {"params": state.g_params, "spectral": state.g_spectral,
+              "batch_stats": state.g_batch_stats, "sigmas": sigmas},
+        "vgg": state.vgg_params,
+    }
+
+
+def export_generate(state, config: PyramidGANConfig, batch_size: int,
+                    *, platforms: Optional[Sequence[str]] = None,
+                    use_pallas_attention: bool = False,
+                    weights: str = "baked") -> "jax.export.Exported":
+    """Lower + serialize-ready export of the generate path at one batch size.
+
+    weights="baked" captures `serving_weights(state)` as constants, so the
+    exported program is self-contained: generate(images, masks, labels,
+    noise). weights="external" makes the pytree the program's first argument:
+    generate(weights, images, masks, labels, noise) — the module stays tiny
+    and the caller supplies the weights (see `save_artifact`/
+    `ServingArtifact`, which handle that plumbing). `platforms` defaults to
+    the current jax backend; pass e.g. ("tpu", "cpu") for a multi-platform
+    artifact.
+    """
     from semantic_pyramid_for_image_generation_tpu.train.state import (
         make_models,
     )
@@ -85,34 +117,71 @@ def export_generate(state, config: PyramidGANConfig, batch_size: int,
         ensure_m11_images,
     )
 
+    if weights not in ("baked", "external"):
+        raise ValueError(f"weights must be 'baked' or 'external': {weights}")
     generator, _, vgg = make_models(config, use_pallas_attention)
-    sigmas, _ = compute_sigma_tree(state.g_params, state.g_spectral,
-                                   update=False)
-    g_variables = {"params": state.g_params, "spectral": state.g_spectral,
-                   "batch_stats": state.g_batch_stats, "sigmas": sigmas}
-    vgg_params = state.vgg_params
+    weight_tree = serving_weights(state)
 
-    def generate(images, masks, labels, noise):
+    def run(w, images, masks, labels, noise):
         images = ensure_m11_images(images)
-        features = vgg.apply({"params": vgg_params}, images)
+        features = vgg.apply({"params": w["vgg"]}, images)
         return generator.apply(
-            g_variables, noise, features,
+            w["g"], noise, features,
             [m.astype(jnp.float32) for m in masks],
             labels.astype(jnp.float32), train=False)
 
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
-    return jax.export.export(jax.jit(generate), **kwargs)(
-        *_generate_spec(config, batch_size))
+    specs = _generate_spec(config, batch_size)
+    if weights == "baked":
+        fn = lambda images, masks, labels, noise: run(  # noqa: E731
+            weight_tree, images, masks, labels, noise)
+        return jax.export.export(jax.jit(fn), **kwargs)(*specs)
+    weight_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        weight_tree)
+    return jax.export.export(jax.jit(run), **kwargs)(weight_specs, *specs)
+
+
+def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+    """Nested-dict pytree -> {'a/b/c': leaf} (all our weight trees are
+    string-keyed nested dicts, so '/'-joined paths are lossless)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                assert "/" not in str(k), f"path separator in key {k!r}"
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", tree)
+    return flat
+
+
+def _unflatten_paths(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for path, leaf in flat.items():
+        node = tree
+        *parents, last = path.split("/")
+        for k in parents:
+            node = node.setdefault(k, {})
+        node[last] = leaf
+    return tree
 
 
 def save_artifact(state, config: PyramidGANConfig, out_dir: str,
                   batch_sizes: Sequence[int] = (1,),
                   *, platforms: Optional[Sequence[str]] = None,
-                  use_pallas_attention: bool = False) -> Dict:
+                  use_pallas_attention: bool = False,
+                  weights: str = "external") -> Dict:
     """Export one program per batch bucket and write the artifact directory.
 
+    weights="external" (default) writes the weight leaves once to
+    `weights.npz` and exports KB-sized programs that take them as an
+    argument; "baked" produces self-contained per-bucket programs.
     Returns the manifest dict (also written to `<out_dir>/manifest.json`).
     """
     buckets = sorted(set(int(b) for b in batch_sizes))
@@ -120,11 +189,16 @@ def save_artifact(state, config: PyramidGANConfig, out_dir: str,
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     os.makedirs(out_dir, exist_ok=True)
 
+    if weights == "external":
+        np.savez(os.path.join(out_dir, "weights.npz"),
+                 **_flatten_with_paths(jax.device_get(
+                     serving_weights(state))))
+
     exported_platforms = None
     for b in buckets:
         exported = export_generate(
             state, config, b, platforms=platforms,
-            use_pallas_attention=use_pallas_attention)
+            use_pallas_attention=use_pallas_attention, weights=weights)
         exported_platforms = list(exported.platforms)
         with open(os.path.join(out_dir, f"generate_b{b}.jaxexp"), "wb") as f:
             f.write(exported.serialize())
@@ -132,7 +206,11 @@ def save_artifact(state, config: PyramidGANConfig, out_dir: str,
     cfg = dataclasses.asdict(config)
     manifest = {
         "format_version": _FORMAT_VERSION,
-        "entry": "generate(images, masks[7], labels, noise) -> fakes",
+        "entry": ("generate(images, masks[7], labels, noise) -> fakes"
+                  if weights == "baked" else
+                  "generate(weights, images, masks[7], labels, noise) "
+                  "-> fakes"),
+        "weights": weights,
         "batch_buckets": buckets,
         "platforms": exported_platforms,
         "jax_version": jax.__version__,
@@ -176,6 +254,12 @@ class ServingArtifact:
         for b in self.manifest["batch_buckets"]:
             with open(os.path.join(path, f"generate_b{b}.jaxexp"), "rb") as f:
                 self.buckets[b] = jax.export.deserialize(bytearray(f.read()))
+        self.weights = None
+        if self.manifest.get("weights", "baked") == "external":
+            with np.load(os.path.join(path, "weights.npz")) as z:
+                # device_put once at load; every bucket call reuses them
+                self.weights = jax.device_put(
+                    _unflatten_paths({k: z[k] for k in z.files}))
 
     def bucket_for(self, batch: int) -> int:
         fitting = [b for b in self.buckets if b >= batch]
@@ -198,9 +282,11 @@ class ServingArtifact:
             widths = [(0, bucket - batch)] + [(0, 0)] * (x.ndim - 1)
             return jnp.pad(x, widths)
 
-        out = self.buckets[bucket].call(
-            pad(images), tuple(pad(m) for m in masks), pad(labels),
-            pad(noise))
+        call_args = (pad(images), tuple(pad(m) for m in masks), pad(labels),
+                     pad(noise))
+        if self.weights is not None:
+            call_args = (self.weights,) + call_args
+        out = self.buckets[bucket].call(*call_args)
         return out[:batch]
 
 

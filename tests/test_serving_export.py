@@ -77,11 +77,34 @@ def test_exported_matches_live_generate(tiny_setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_multiplatform_export_runs_on_cpu(tiny_setup):
+    """--platforms tpu,cpu artifacts lower both targets on any host and pick
+    the live backend's branch at call time (jax.export multi-platform)."""
+    cfg, state = tiny_setup
+    ex, noise = _example(cfg, 1)
+    exported = export_generate(state, cfg, batch_size=1,
+                               platforms=("tpu", "cpu"))
+    assert set(exported.platforms) == {"tpu", "cpu"}
+    restored = jax.export.deserialize(bytearray(exported.serialize()))
+    out = restored.call(
+        jnp.asarray(ex["images"]),
+        tuple(jnp.asarray(m, jnp.float32) for m in ex["masks"]),
+        jnp.asarray(ex["labels"]), jnp.asarray(noise))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_artifact_save_load_and_bucket_padding(tmp_path, tiny_setup):
     cfg, state = tiny_setup
     out_dir = str(tmp_path / "artifact")
+    # default mode: external weights — KB programs + one shared weights.npz
     manifest = save_artifact(state, cfg, out_dir, batch_sizes=[2, 4])
     assert manifest["batch_buckets"] == [2, 4]
+    assert manifest["weights"] == "external"
+    assert (tmp_path / "artifact" / "weights.npz").exists()
+    import os
+    assert os.path.getsize(
+        str(tmp_path / "artifact" / "generate_b2.jaxexp")) < 2_000_000, \
+        "external-weights program should be small (no baked constants)"
 
     art = load_artifact(out_dir)
     assert art.bucket_for(1) == 2
