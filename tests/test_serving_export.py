@@ -93,6 +93,67 @@ def test_multiplatform_export_runs_on_cpu(tiny_setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_http_server_generate_roundtrip(tmp_path, tiny_setup):
+    """cli.serve's HTTP layer: export -> serve -> POST /generate returns
+    decodable PNGs of the right geometry; /healthz reports the buckets;
+    malformed requests get 400s, oversize batches too."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from PIL import Image
+
+    from semantic_pyramid_for_image_generation_tpu.serving.server import (
+        serve_artifact,
+    )
+
+    cfg, state = tiny_setup
+    out_dir = str(tmp_path / "artifact")
+    save_artifact(state, cfg, out_dir, batch_sizes=[2])
+
+    server = serve_artifact(out_dir, port=0)  # ephemeral port
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        health = json.loads(urllib.request.urlopen(
+            f"{base}/healthz", timeout=30).read())
+        assert health["status"] == "ok"
+        assert health["batch_buckets"] == [2]
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.random.default_rng(0).random((cfg.image_size, cfg.image_size,
+                                              3)) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")
+        body = json.dumps({
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "level": 3, "class_id": 5, "num_samples": 1, "seed": 3,
+        }).encode()
+        reply = json.loads(urllib.request.urlopen(urllib.request.Request(
+            f"{base}/generate", data=body, method="POST"),
+            timeout=300).read())
+        assert reply["bucket"] == 2
+        assert len(reply["images"]) == 1
+        png = Image.open(io.BytesIO(base64.b64decode(reply["images"][0])))
+        assert png.size == (cfg.image_size, cfg.image_size)
+
+        for bad in ({"level": 0},                      # missing image
+                    {"image_b64": "aGk=", "num_samples": 99}):  # > bucket
+            with pytest.raises(urllib.error.HTTPError) as err:
+                urllib.request.urlopen(urllib.request.Request(
+                    f"{base}/generate", data=json.dumps(bad).encode(),
+                    method="POST"), timeout=30)
+            assert err.value.code == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+
+
 def test_artifact_save_load_and_bucket_padding(tmp_path, tiny_setup):
     cfg, state = tiny_setup
     out_dir = str(tmp_path / "artifact")
