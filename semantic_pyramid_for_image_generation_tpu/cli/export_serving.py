@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'external' (default): KB-sized programs + one "
                         "weights.npz shared by all buckets; 'baked': "
                         "self-contained programs with weights as constants")
+    p.add_argument("--classifier", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="also export classify_b1.jaxexp (images -> fc8 "
+                        "logits) so serving can auto-derive class_id")
     p.add_argument("--load_checkpoint", type=str, default=None,
                    help="orbax TrainState dir or reference .pt checkpoint")
     p.add_argument("--load_pretrained_vgg16", type=str, default=None,
@@ -107,7 +111,8 @@ def main(argv=None) -> int:
     manifest = save_artifact(
         state, config, args.out,
         batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
-        platforms=platforms, weights=args.weights)
+        platforms=platforms, weights=args.weights,
+        classifier=args.classifier)
     print(json.dumps({"out": args.out,
                       "batch_buckets": manifest["batch_buckets"],
                       "platforms": manifest["platforms"],

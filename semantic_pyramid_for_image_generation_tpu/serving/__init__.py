@@ -7,6 +7,7 @@ eval-mode Generator) into a self-contained StableHLO artifact via
 
 from semantic_pyramid_for_image_generation_tpu.serving.export import (  # noqa: F401
     ServingArtifact,
+    export_classify,
     export_generate,
     load_artifact,
     save_artifact,

@@ -144,6 +144,47 @@ def export_generate(state, config: PyramidGANConfig, batch_size: int,
     return jax.export.export(jax.jit(run), **kwargs)(weight_specs, *specs)
 
 
+def export_classify(state, config: PyramidGANConfig, batch_size: int,
+                    *, platforms: Optional[Sequence[str]] = None,
+                    weights: str = "baked") -> "jax.export.Exported":
+    """Companion classifier export: images -> VGG fc8 Places365 logits.
+
+    Serving uses it to auto-derive the class conditioning from the input
+    image when the caller omits class_id — the same UX cli/generate.py
+    offers live (the fc8 logits are already the pyramid's deepest tap,
+    reference models.py:209-216). In external mode the program takes only
+    the `vgg` subtree of the shared weights.npz.
+    """
+    from semantic_pyramid_for_image_generation_tpu.train.state import (
+        make_models,
+    )
+    from semantic_pyramid_for_image_generation_tpu.train.step import (
+        ensure_m11_images,
+    )
+
+    if weights not in ("baked", "external"):
+        raise ValueError(f"weights must be 'baked' or 'external': {weights}")
+    _, _, vgg = make_models(config)
+    vgg_params = state.vgg_params
+
+    def run(w, images):
+        return vgg.apply({"params": w}, ensure_m11_images(images))[-1]
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    s = config.image_size
+    img_spec = jax.ShapeDtypeStruct(
+        (batch_size, s, s, config.out_channels), jnp.float32)
+    if weights == "baked":
+        fn = lambda images: run(vgg_params, images)  # noqa: E731
+        return jax.export.export(jax.jit(fn), **kwargs)(img_spec)
+    weight_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        vgg_params)
+    return jax.export.export(jax.jit(run), **kwargs)(weight_specs, img_spec)
+
+
 def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
     """Nested-dict pytree -> {'a/b/c': leaf} (all our weight trees are
     string-keyed nested dicts, so '/'-joined paths are lossless)."""
@@ -176,12 +217,15 @@ def save_artifact(state, config: PyramidGANConfig, out_dir: str,
                   batch_sizes: Sequence[int] = (1,),
                   *, platforms: Optional[Sequence[str]] = None,
                   use_pallas_attention: bool = False,
-                  weights: str = "external") -> Dict:
+                  weights: str = "external",
+                  classifier: bool = True) -> Dict:
     """Export one program per batch bucket and write the artifact directory.
 
     weights="external" (default) writes the weight leaves once to
     `weights.npz` and exports KB-sized programs that take them as an
     argument; "baked" produces self-contained per-bucket programs.
+    classifier=True also exports a batch-1 `classify_b1.jaxexp` (images ->
+    fc8 logits) so serving can auto-derive class conditioning.
     Returns the manifest dict (also written to `<out_dir>/manifest.json`).
     """
     buckets = sorted(set(int(b) for b in batch_sizes))
@@ -202,6 +246,11 @@ def save_artifact(state, config: PyramidGANConfig, out_dir: str,
         exported_platforms = list(exported.platforms)
         with open(os.path.join(out_dir, f"generate_b{b}.jaxexp"), "wb") as f:
             f.write(exported.serialize())
+    if classifier:
+        exported = export_classify(state, config, 1, platforms=platforms,
+                                   weights=weights)
+        with open(os.path.join(out_dir, "classify_b1.jaxexp"), "wb") as f:
+            f.write(exported.serialize())
 
     cfg = dataclasses.asdict(config)
     manifest = {
@@ -211,6 +260,7 @@ def save_artifact(state, config: PyramidGANConfig, out_dir: str,
                   "generate(weights, images, masks[7], labels, noise) "
                   "-> fakes"),
         "weights": weights,
+        "classifier": classifier,
         "batch_buckets": buckets,
         "platforms": exported_platforms,
         "jax_version": jax.__version__,
@@ -260,6 +310,11 @@ class ServingArtifact:
                 # device_put once at load; every bucket call reuses them
                 self.weights = jax.device_put(
                     _unflatten_paths({k: z[k] for k in z.files}))
+        self.classifier = None
+        if self.manifest.get("classifier"):
+            with open(os.path.join(path, "classify_b1.jaxexp"), "rb") as f:
+                self.classifier = jax.export.deserialize(
+                    bytearray(f.read()))
 
     def bucket_for(self, batch: int) -> int:
         fitting = [b for b in self.buckets if b >= batch]
@@ -288,6 +343,19 @@ class ServingArtifact:
             call_args = (self.weights,) + call_args
         out = self.buckets[bucket].call(*call_args)
         return out[:batch]
+
+    def classify(self, image) -> int:
+        """fc8 argmax class of ONE conditioning image (classifier program;
+        raises if the artifact was exported with classifier=False)."""
+        if self.classifier is None:
+            raise ValueError("artifact exported without a classifier "
+                             "program; pass class_id explicitly")
+        image = jnp.asarray(image, jnp.float32)[None]
+        if self.weights is not None:
+            logits = self.classifier.call(self.weights["vgg"], image)
+        else:
+            logits = self.classifier.call(image)
+        return int(np.asarray(logits)[0].argmax())
 
 
 def load_artifact(path: str) -> ServingArtifact:

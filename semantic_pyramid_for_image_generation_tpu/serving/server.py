@@ -17,11 +17,14 @@ API (JSON over HTTP):
         "image_b64":   base64 PNG/JPEG conditioning image (required),
         "level":       0..6 semantic level, deep->shallow (default 0),
         "class_id":    Places365 class for the projection/CBN conditioning
-                       (default 0),
+                       (default: the image's own fc8 argmax via the
+                       artifact's classifier program, as cli/generate.py
+                       does live),
         "num_samples": latents to draw (default 1; routed to the smallest
                        fitting batch bucket),
         "seed":        latent RNG seed (default 0),
-    }                -> {"images": [base64 PNG, ...], "bucket": N}
+    }                -> {"images": [base64 PNG, ...], "bucket": N,
+                         "class_id": the class actually used}
 
 Requests are serialized through one lock: the device runs one program at a
 time anyway, and bucketing already batches the parallelism that matters.
@@ -92,8 +95,9 @@ class GenerateService:
         if not 0 <= level < len(self.config.mask_shapes):
             raise ValueError(f"level must be in [0, "
                              f"{len(self.config.mask_shapes) - 1}]: {level}")
-        class_id = int(request.get("class_id", 0))
-        if not 0 <= class_id < self.config.num_classes:
+        class_id = request.get("class_id")
+        if class_id is not None and not (
+                0 <= int(class_id) < self.config.num_classes):
             raise ValueError(f"class_id must be in [0, "
                              f"{self.config.num_classes - 1}]: {class_id}")
         n = int(request.get("num_samples", 1))
@@ -110,6 +114,12 @@ class GenerateService:
         images = np.broadcast_to(image, (n,) + image.shape)
         per_sample = self.schedule.inference_masks(level)
         masks = self.schedule.batch([per_sample] * n)
+        if class_id is None:
+            # auto-conditioning on the image's own fc8 prediction, the
+            # cli/generate.py default (needs the classifier program)
+            with self._lock:
+                class_id = self.artifact.classify(image)
+        class_id = int(class_id)
         labels = np.zeros((n, self.config.num_classes), np.float32)
         labels[:, class_id] = 1.0
         noise = np.random.default_rng(
@@ -123,6 +133,7 @@ class GenerateService:
             "images": [base64.b64encode(encode_png(f)).decode("ascii")
                        for f in fakes],
             "bucket": bucket,
+            "class_id": class_id,
         }
 
 

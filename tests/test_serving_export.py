@@ -138,9 +138,20 @@ def test_http_server_generate_roundtrip(tmp_path, tiny_setup):
             f"{base}/generate", data=body, method="POST"),
             timeout=300).read())
         assert reply["bucket"] == 2
+        assert reply["class_id"] == 5
         assert len(reply["images"]) == 1
         png = Image.open(io.BytesIO(base64.b64decode(reply["images"][0])))
         assert png.size == (cfg.image_size, cfg.image_size)
+
+        # omit class_id -> auto-conditioning on the image's fc8 argmax
+        body_auto = json.dumps({
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "level": 0, "num_samples": 1, "seed": 3,
+        }).encode()
+        reply_auto = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/generate", data=body_auto,
+                                   method="POST"), timeout=300).read())
+        assert 0 <= reply_auto["class_id"] < cfg.num_classes
 
         for bad in ({"level": 0},                      # missing image
                     {"image_b64": "aGk=", "num_samples": 99}):  # > bucket
@@ -187,3 +198,8 @@ def test_artifact_save_load_and_bucket_padding(tmp_path, tiny_setup):
         jnp.asarray(ex["labels"]), jax.random.key(0),
         noise=jnp.asarray(noise))
     np.testing.assert_allclose(out3, np.asarray(live), rtol=1e-5, atol=1e-5)
+
+    # companion classifier program == live VGG fc8 argmax
+    live_logits = np.asarray(vgg.apply(
+        {"params": state.vgg_params}, jnp.asarray(ex["images"][:1]))[-1])
+    assert art.classify(ex["images"][0]) == int(live_logits[0].argmax())
