@@ -26,7 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--workers", type=int, default=16)
     p.add_argument("--resume", type=str, default=None,
-                   help="orbax checkpoint dir to resume from")
+                   help="resume a fine-tune losslessly: an orbax checkpoint "
+                        "dir (latest_N / best) or a save_dir (picks the "
+                        "newest latest_N). Restores params, Adam state, the "
+                        "epoch offset and best_prec1 "
+                        "(/root/reference/vgg_16_train.py:64-74 restores "
+                        "state_dict/start_epoch/best_prec1; optimizer-state "
+                        "restore is an upgrade over the reference)")
     p.add_argument("--load_vgg16", type=str,
                    default="pre_trained_models/vgg_places_365.pt",
                    help=".pt start point (caffe2pytorchvgg16 output)")
@@ -63,6 +69,68 @@ class AverageMeter:
     @property
     def avg(self):
         return self.sum / max(self.count, 1)
+
+
+def epoch_lr_scale(epoch: int) -> float:
+    """Step decay /10 every 30 epochs (vgg_16_train.py:252-256). Threaded
+    into the jitted step as an update scale so epochs never recompile;
+    scaling Adam's updates by s is exactly Adam at lr*s."""
+    return 0.1 ** (epoch // 30)
+
+
+def resolve_resume_path(path: str):
+    """Map --resume to one orbax checkpoint dir.
+
+    Accepts a concrete checkpoint dir (latest_N / best) or a save_dir, in
+    which case the newest latest_N wins (the reference points --resume at the
+    single rolling _latest.pth.tar file, vgg_16_train.py:64-74; here every
+    epoch keeps its own dir). Returns None when nothing is there."""
+    if not os.path.isdir(path):
+        return None
+    base = os.path.basename(os.path.normpath(path))
+    if base == "best" or base.startswith("latest_"):
+        return os.path.abspath(path)
+    latest = [e for e in os.listdir(path)
+              if e.startswith("latest_") and e.split("_")[-1].isdigit()]
+    if not latest:
+        return None
+    latest.sort(key=lambda e: int(e.split("_")[-1]))
+    return os.path.abspath(os.path.join(path, latest[-1]))
+
+
+def save_finetune_checkpoint(path: str, params, opt_state, epoch_next: int,
+                             best_prec1: float) -> None:
+    """One orbax dir holding everything a lossless restart needs: params,
+    Adam moments, the NEXT epoch index (reference semantics: it saves
+    'epoch': epoch + 1 and resumes at start_epoch = checkpoint['epoch'],
+    vgg_16_train.py:68, :125-131) and the best validation prec@1."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    # one host fetch before orbax (relay gotcha — see train/checkpoint.py)
+    tree = jax.device_get({
+        "params": params, "opt_state": opt_state,
+        "epoch": np.asarray(epoch_next, np.int32),
+        "best_prec1": np.asarray(best_prec1, np.float32)})
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def restore_finetune_checkpoint(path: str, params, opt_state):
+    """Restore into the live structures; returns
+    (params, opt_state, start_epoch, best_prec1)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    target = {
+        "params": params, "opt_state": opt_state,
+        "epoch": np.asarray(0, np.int32),
+        "best_prec1": np.asarray(0.0, np.float32)}
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path), abstract)
+    return (tree["params"], tree["opt_state"], int(tree["epoch"]),
+            float(tree["best_prec1"]))
 
 
 def make_finetune_step(model, tx):
@@ -137,12 +205,21 @@ def main(argv=None) -> int:
     params = variables["params"]
 
     # step lr decay /10 every 30 epochs (vgg_16_train.py:252-256); epoch is
-    # threaded as a scale so the jitted step never recompiles
+    # threaded as a scale (epoch_lr_scale) so the jitted step never recompiles
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
-    def epoch_lr_scale(epoch: int) -> float:
-        return 0.1 ** (epoch // 30)
+    start_epoch, best_prec1 = 0, 0.0
+    if args.resume:
+        resume_path = resolve_resume_path(args.resume)
+        if resume_path is None:
+            print(f"=> no checkpoint found at '{args.resume}'")
+        else:
+            print(f"=> loading checkpoint '{resume_path}'")
+            params, opt_state, start_epoch, best_prec1 = (
+                restore_finetune_checkpoint(resume_path, params, opt_state))
+            print(f"=> loaded checkpoint '{resume_path}' "
+                  f"(epoch {start_epoch}, best_prec1 {best_prec1:.3f})")
 
     train_step = make_finetune_step(model, tx)
 
@@ -171,6 +248,10 @@ def main(argv=None) -> int:
     val_ds = ImageFolder(os.path.join(args.data, "val"), config.image_size)
     train_loader = ImageFolderLoader(train_ds, args.batch_size,
                                      num_workers=args.workers)
+    # a resumed run must see epoch N's shuffle order, not epoch 0's — the
+    # loader derives its order from (seed, epoch), so aligning the counter
+    # makes restart-at-epoch-N replay the uninterrupted run exactly
+    train_loader.epoch = start_epoch
     val_loader = ImageFolderLoader(val_ds, args.batch_size, shuffle=False,
                                    random_flip=False, drop_last=False,
                                    num_workers=args.workers)
@@ -192,21 +273,22 @@ def main(argv=None) -> int:
         print(f" * Prec@1 {top1_m.avg * 100:.3f} Prec@5 {top5_m.avg * 100:.3f}")
         return top1_m.avg
 
-    best_prec1 = 0.0
     rng = jax.random.key(1)
     if args.evaluate_only:
         validate()
         return 0
     os.makedirs(args.save_dir, exist_ok=True)
-    import orbax.checkpoint as ocp
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         loss_m, top1_m = AverageMeter(), AverageMeter()
         t0 = time.time()
+        # dropout keys derive from (base key, epoch) so a resumed epoch
+        # draws the same masks the uninterrupted run would have
+        epoch_rng = jax.random.fold_in(rng, epoch)
         for it, (images, labels) in enumerate(train_loader):
             if args.max_steps is not None and it >= args.max_steps:
                 break
-            rng, step_rng = jax.random.split(rng)
+            epoch_rng, step_rng = jax.random.split(epoch_rng)
             batch = shard_batch(
                 {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
             params, opt_state, loss, top1 = train_step(
@@ -219,27 +301,29 @@ def main(argv=None) -> int:
                 print(f"epoch {epoch} it {it} loss {loss_m.avg:.4f} "
                       f"top1 {top1_m.avg * 100:.2f} ({rate:.1f} img/s)")
         prec1 = validate()
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(os.path.abspath(
-                os.path.join(args.save_dir, f"latest_{epoch}")), params)
-            if prec1 > best_prec1:
-                best_prec1 = prec1
-                ckptr.save(os.path.abspath(
-                    os.path.join(args.save_dir, "best")), params, force=True)
-                if args.export_pt:
-                    import torch
+        is_best = prec1 > best_prec1
+        best_prec1 = max(prec1, best_prec1)
+        save_finetune_checkpoint(
+            os.path.join(args.save_dir, f"latest_{epoch}"),
+            params, opt_state, epoch + 1, best_prec1)
+        if is_best:
+            save_finetune_checkpoint(
+                os.path.join(args.save_dir, "best"),
+                params, opt_state, epoch + 1, best_prec1)
+            if args.export_pt:
+                import torch
 
-                    from semantic_pyramid_for_image_generation_tpu.utils \
-                        .pt_interop import export_vgg16_state_dict
+                from semantic_pyramid_for_image_generation_tpu.utils \
+                    .pt_interop import export_vgg16_state_dict
 
-                    if args.vgg_width_factor != 1:
-                        raise SystemExit(
-                            "--export_pt needs full-width VGG16 "
-                            "(--vgg_width_factor 1): the reference loads "
-                            "torchvision shapes")
-                    torch.save(export_vgg16_state_dict({"params": params}),
-                               args.export_pt)
-                    print(f"exported reference-loadable {args.export_pt}")
+                if args.vgg_width_factor != 1:
+                    raise SystemExit(
+                        "--export_pt needs full-width VGG16 "
+                        "(--vgg_width_factor 1): the reference loads "
+                        "torchvision shapes")
+                torch.save(export_vgg16_state_dict({"params": params}),
+                           args.export_pt)
+                print(f"exported reference-loadable {args.export_pt}")
     return 0
 
 
