@@ -42,8 +42,8 @@ def save_inference_grid(
     path: str,
     nrow: int = 7,
 ) -> None:
-    """Normalize jointly like the reference (one min-max over the full stack of
-    49 fakes via normalize_0_1_batch) and write a PNG."""
+    """Normalize per-sample like the reference (normalize_0_1_batch min-maxes
+    each of the 49 fakes independently, misc.py:100-109) and write a PNG."""
     from PIL import Image
 
     grid = tile_grid(normalize_0_1_np(images), nrow=nrow)
