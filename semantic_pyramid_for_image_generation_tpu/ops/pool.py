@@ -40,6 +40,13 @@ _STRIDED_MAXPOOL = int(os.environ.get("SPIG_STRIDED_MAXPOOL", "0") or 0)
 _MAXPOOL_CUSTOM_VJP = int(os.environ.get("SPIG_MAXPOOL_VJP", "1") or 0)
 
 
+def _on_tpu() -> bool:
+    """Backend gate for the bf16 TPU-only pool paths — a seam so the CPU test
+    suite can exercise the eqsplit VJP in the composed bf16 step
+    (tests/test_bf16_rewrites.py monkeypatches it)."""
+    return jax.default_backend() == "tpu"
+
+
 def _up2(t: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, 2H, 2W, C) by repeating each cell over its 2x2
     window (exact transpose pattern of _avg_pool_2x2_bwd)."""
@@ -88,7 +95,7 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
     if window == 2 and stride == 2 and h % 2 == 0 and w % 2 == 0:
         if (_PALLAS_MAXPOOL
                 and x.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"):
+                and _on_tpu()):
             from semantic_pyramid_for_image_generation_tpu.ops.pallas.pool import (
                 max_pool_2x2_pallas,
                 supported_shape,
@@ -98,7 +105,7 @@ def max_pool_2d(x: jax.Array, window: int = 2, stride: int | None = None) -> jax
                 return max_pool_2x2_pallas(x)
         if (_MAXPOOL_CUSTOM_VJP
                 and x.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"):
+                and _on_tpu()):
             return _max_pool_2x2_eqsplit(x)
         if _STRIDED_MAXPOOL:
             x = jnp.maximum(x[:, 0::2], x[:, 1::2])      # (b, h/2, w, c)
