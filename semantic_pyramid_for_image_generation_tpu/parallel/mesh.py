@@ -114,6 +114,21 @@ def shard_batch(batch: Any, mesh: Mesh, process_local: bool = False) -> Any:
     return jax.tree.map(lambda x: _put_global(x, sharding), batch)
 
 
+def put_eval_group(mesh: Mesh, group_tree: Any) -> Any:
+    """Stage one FIDEvaluator.fid_scan group onto the mesh: the group tree is
+    (stacked batches, key_data, num_valid) with stacked arrays shaped
+    (group, B, ...) — shard the INNER batch axis over every mesh axis;
+    key_data and num_valid replicate. Multi-process safe via `_put_global`.
+    Used by Trainer.validate and certified by __graft_entry__
+    .dryrun_multichip (the reference's analogue is the DataParallel scatter
+    inside frechet_inception_distance.py:86-90)."""
+    stacked, key_data, num_valid = group_tree
+    inner_batch = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+    rep = replicated_sharding(mesh)
+    return (jax.tree.map(lambda x: _put_global(x, inner_batch), stacked),
+            _put_global(key_data, rep), _put_global(num_valid, rep))
+
+
 def shard_state(state: Any, mesh: Mesh) -> Any:
     """Place the train state on the mesh (multi-process safe).
 

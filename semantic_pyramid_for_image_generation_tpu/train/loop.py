@@ -20,7 +20,6 @@ from typing import Any, Dict, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from semantic_pyramid_for_image_generation_tpu.config import (
     DEFAULT_W_DIV,
@@ -35,6 +34,7 @@ from semantic_pyramid_for_image_generation_tpu.eval.grid import (
 from semantic_pyramid_for_image_generation_tpu.parallel.mesh import (
     _put_global,
     make_mesh,
+    put_eval_group,
     replicated_sharding,
     shard_batch,
     shard_state,
@@ -75,6 +75,7 @@ class Trainer:
         use_pallas_attention: bool = False,
         use_mesh: bool = True,
         fsdp: int = 1,
+        mesh=None,
         process_sharded_data: bool = False,
         remat_vgg: bool = False,
         fused_discriminator: bool = False,
@@ -104,8 +105,12 @@ class Trainer:
                 vgg_variables=vgg_variables, g_variables=g_variables,
                 d_variables=d_variables)
         # fsdp>1 builds a 2-D (data, fsdp) mesh: params + Adam moments +
-        # frozen VGG sharded ZeRO-3 style (parallel/mesh.py::fsdp_spec)
-        self.mesh = make_mesh(fsdp=fsdp) if use_mesh else None
+        # frozen VGG sharded ZeRO-3 style (parallel/mesh.py::fsdp_spec).
+        # An explicit `mesh` overrides (device-subset runs: dryrun_multichip)
+        if not use_mesh:
+            self.mesh = None
+        else:
+            self.mesh = mesh if mesh is not None else make_mesh(fsdp=fsdp)
         # process_sharded_data: the training loader is a per-host shard
         # (Places365Loader(num_shards=process_count)) — each host decodes only
         # its slice; _put assembles the global batch by concatenation
@@ -367,17 +372,10 @@ class Trainer:
             put_group=self._put_eval_group if self.mesh is not None else None)
 
     def _put_eval_group(self, group_tree):
-        """Stage one fid_scan group onto the mesh: stacked batches are
-        (group, B, ...) — shard the inner batch axis over the mesh; key_data
-        and num_valid replicate. Multi-process safe via _put_global, closing
-        the VERDICT r3 multihost-eval gap (the reference's analogue is the
-        DataParallel scatter inside frechet_inception_distance.py:86-90)."""
-        stacked, key_data, num_valid = group_tree
-        inner_batch = NamedSharding(
-            self.mesh, P(None, tuple(self.mesh.axis_names)))
-        rep = replicated_sharding(self.mesh)
-        return (jax.tree.map(lambda x: _put_global(x, inner_batch), stacked),
-                _put_global(key_data, rep), _put_global(num_valid, rep))
+        """Stage one fid_scan group onto the mesh — see
+        parallel.mesh.put_eval_group (module-level so the driver-checked
+        dryrun_multichip certifies the SAME staging code validate() uses)."""
+        return put_eval_group(self.mesh, group_tree)
 
     def _draw_inference_samples(self, num_images: int):
         """Seeded random draw of `num_images` distinct validation samples —
