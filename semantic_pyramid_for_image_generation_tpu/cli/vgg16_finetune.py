@@ -161,6 +161,57 @@ def make_finetune_step(model, tx):
     return train_step
 
 
+def make_eval_step(model):
+    """Per-sample eval metrics — the body of the reference's validate()
+    (/root/reference/vgg_16_train.py:182-224: CE loss + Prec@1/Prec@5 via
+    accuracy(), :259-272) as ONE jitted program. Returns per-sample values so
+    padded remainder rows can be trimmed host-side. Shared by main() and the
+    live-reference trajectory parity test (tests/test_finetune_parity.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    @jax.jit
+    def eval_step(params, images, labels):
+        logits = model.apply({"params": params}, images, train=False)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels)
+        top1 = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        k = min(5, logits.shape[-1])
+        top5 = jnp.any(jax.lax.top_k(logits, k)[1] == labels[:, None],
+                       axis=-1).astype(jnp.float32)
+        return ce, top1, top5
+
+    return eval_step
+
+
+def run_validation(eval_step, params, loader, mesh, shard_batch):
+    """The reference validate() walk (/root/reference/vgg_16_train.py:182-224)
+    over an ImageFolderLoader: remainder batches are padded to the mesh
+    multiple and trimmed host-side. Returns (ce_loss, prec1, prec5) as
+    FRACTIONS (the reference meters are percentages — multiply by 100).
+    Shared by main() and scripts/artifact_selftest.py."""
+    import jax
+    import jax.numpy as jnp
+
+    n_dev = mesh.devices.size
+    loss_m, top1_m, top5_m = AverageMeter(), AverageMeter(), AverageMeter()
+    for images, labels in loader:
+        n = images.shape[0]
+        pad = (-n) % n_dev
+        if pad:  # remainder batch: pad to the mesh multiple, trim below
+            images = np.concatenate([images, np.repeat(images[:1], pad, 0)])
+            labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
+        batch = shard_batch(
+            {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
+        ce, t1, t5 = jax.device_get(eval_step(params, batch["i"], batch["l"]))
+        loss_m.update(float(ce[:n].mean()), n)
+        top1_m.update(float(t1[:n].mean()), n)
+        top5_m.update(float(t5[:n].mean()), n)
+    print(f" * Prec@1 {top1_m.avg * 100:.3f} Prec@5 {top5_m.avg * 100:.3f}")
+    return loss_m.avg, top1_m.avg, top5_m.avg
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -222,18 +273,7 @@ def main(argv=None) -> int:
                   f"(epoch {start_epoch}, best_prec1 {best_prec1:.3f})")
 
     train_step = make_finetune_step(model, tx)
-
-    @jax.jit
-    def eval_step(params, images, labels):
-        # per-sample so padded remainder rows can be trimmed host-side
-        logits = model.apply({"params": params}, images, train=False)
-        ce = optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), labels)
-        top1 = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
-        k = min(5, logits.shape[-1])
-        top5 = jnp.any(jax.lax.top_k(logits, k)[1] == labels[:, None],
-                       axis=-1).astype(jnp.float32)
-        return ce, top1, top5
+    eval_step = make_eval_step(model)
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -257,21 +297,8 @@ def main(argv=None) -> int:
                                    num_workers=args.workers)
 
     def validate():
-        loss_m, top1_m, top5_m = AverageMeter(), AverageMeter(), AverageMeter()
-        for images, labels in val_loader:
-            n = images.shape[0]
-            pad = (-n) % n_dev
-            if pad:  # remainder batch: pad to the mesh multiple, trim below
-                images = np.concatenate([images, np.repeat(images[:1], pad, 0)])
-                labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
-            batch = shard_batch(
-                {"i": jnp.asarray(images), "l": jnp.asarray(labels)}, mesh)
-            ce, t1, t5 = jax.device_get(eval_step(params, batch["i"], batch["l"]))
-            loss_m.update(float(ce[:n].mean()), n)
-            top1_m.update(float(t1[:n].mean()), n)
-            top5_m.update(float(t5[:n].mean()), n)
-        print(f" * Prec@1 {top1_m.avg * 100:.3f} Prec@5 {top5_m.avg * 100:.3f}")
-        return top1_m.avg
+        return run_validation(eval_step, params, val_loader, mesh,
+                              shard_batch)[1]
 
     rng = jax.random.key(1)
     if args.evaluate_only:

@@ -99,6 +99,17 @@ def _install_stubs() -> None:
 
         tv_functional.to_tensor = to_tensor
         tv_transforms.functional = tv_functional
+        # vgg_16_train.py imports torchvision.datasets at module level (used
+        # only inside its main(), which parity tests never call)
+        tv_datasets = types.ModuleType("torchvision.datasets")
+
+        def _datasets_unavailable(*a, **k):
+            raise NotImplementedError(
+                "torchvision.datasets stub: parity tests drive the reference "
+                "train()/validate() with pinned batches, not ImageFolder")
+
+        tv_datasets.ImageFolder = _datasets_unavailable
+
         tv_utils = types.ModuleType("torchvision.utils")
 
         def save_image(tensor, fp, nrow=8, **kwargs):
@@ -109,11 +120,13 @@ def _install_stubs() -> None:
         tv_utils.save_image = save_image
         torchvision.transforms = tv_transforms
         torchvision.utils = tv_utils
+        torchvision.datasets = tv_datasets
         sys.modules["torchvision"] = torchvision
         sys.modules["torchvision.models"] = tv_models
         sys.modules["torchvision.transforms"] = tv_transforms
         sys.modules["torchvision.transforms.functional"] = tv_functional
         sys.modules["torchvision.utils"] = tv_utils
+        sys.modules["torchvision.datasets"] = tv_datasets
 
     if "skimage" not in sys.modules:
         skimage = types.ModuleType("skimage")
