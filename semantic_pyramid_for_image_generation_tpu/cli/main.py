@@ -128,9 +128,11 @@ def config_from_args(args):
         remat_blocks=args.remat_blocks)
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-
+def build_trainer(args):
+    """Flags → a fully-wired Trainer (loaders, weights imports, checkpoint
+    restore) — everything main() does before train()/test(). Exposed so other
+    entry points (scripts/artifact_selftest.py) drive the SAME wiring instead
+    of re-implementing it."""
     import jax
 
     from semantic_pyramid_for_image_generation_tpu.utils.cache import (
@@ -242,6 +244,12 @@ def main(argv=None) -> int:
           param_count(trainer.state.g_params))
     print("Number of discriminator parameters",
           param_count(trainer.state.d_params))
+    return trainer
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    trainer = build_trainer(args)
 
     if args.train:
         trainer.train(epochs=args.epochs,
