@@ -470,6 +470,95 @@ def vgg_finetune_bench(args) -> None:
     }))
 
 
+def check_pallas_bench(args) -> None:
+    """On-chip Pallas attention assertion lane (VERDICT r4 item 4): compare
+    pooled_kv_attention — forward AND all three input gradients — against the
+    XLA einsum path at the full-width generator shape (32x32 map: q 1024x32,
+    kv 256x(32/128)) on the CURRENT backend, in fp32 and bf16. The unit-test
+    evidence for the grads is interpret-mode; this lane pins the `--pallas`
+    TPU default with a command that runs the real Mosaic kernel."""
+    from semantic_pyramid_for_image_generation_tpu.ops.pallas.attention import (
+        pooled_kv_attention,
+    )
+
+    b, nq, nk, c8, c2 = args.batch_size // 64 or 2, 1024, 256, 32, 128
+    host = np.random.default_rng(0)
+
+    def xla_path(q, k, v):
+        # the SelfAttention plain-XLA path (models/layers.py:338-343)
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32, precision=prec)
+        p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bqk,bkc->bqc", p, v, precision=prec)
+
+    # Each path gets its OWN jit, and the oracle's inputs are upcast to fp32
+    # ON THE HOST. Not just hygiene — this lane caught a toolchain bug:
+    # a HIGHEST-precision fp32 dot whose operands are in-graph bf16->f32
+    # upcasts is lowered (via Mosaic) to a bf16-operand/fp32-contract
+    # tpu.matmul that the kernel compiler rejects ('Bad lhs type').
+    # Bisected on-chip: the Pallas kernel alone compiles, kernel + an
+    # unrelated HIGHEST dot compiles, and a jit holding ONLY the upcasting
+    # oracle (zero Pallas) fails. Host-side upcast sidesteps it; separate
+    # jits also mirror how production dispatches each path and keep the
+    # comparison free of cross-path CSE.
+    def fwd_and_grads(fn):
+        @jax.jit
+        def run(q, k, v, ct):
+            out, vjp = jax.vjp(fn, q, k, v)
+            return (out,) + vjp(ct.astype(out.dtype))
+        return run
+
+    run_pallas = fwd_and_grads(pooled_kv_attention)
+    run_xla = fwd_and_grads(xla_path)
+
+    report = {}
+    ok = True
+    for dtype in (jnp.float32, jnp.bfloat16):
+        qn = host.standard_normal((b, nq, c8))
+        kn = host.standard_normal((b, nk, c8))
+        vn = host.standard_normal((b, nk, c2))
+        q, k, v = (jnp.asarray(x, dtype) for x in (qn, kn, vn))
+        # fp32 copies of the SAME (dtype-rounded) values, upcast on host
+        q32, k32, v32 = (
+            jnp.asarray(np.asarray(jax.device_get(x), np.float32))
+            for x in (q, k, v))
+        ct = jnp.asarray(host.standard_normal((b, nq, c2)), jnp.float32)
+        ref, got_p, got_x = (
+            [np.asarray(jax.device_get(t), np.float64) for t in out]
+            for out in (run_xla(q32, k32, v32, ct),
+                        run_pallas(q, k, v, ct),
+                        run_xla(q, k, v, ct)))
+        e_pallas = np.asarray([np.abs(t - r).max() for t, r in zip(got_p, ref)])
+        e_xla = np.asarray([np.abs(t - r).max() for t, r in zip(got_x, ref)])
+        name = jnp.dtype(dtype).name
+        # fp32 is the torch-parity mode: the kernel must sit AT the oracle
+        # (association-level noise only). bf16 is the perf mode: the kernel
+        # must be no farther from the oracle than the XLA path it replaces
+        # (its f32-upcast backward is usually closer), up to one bf16 ulp of
+        # the observed scale.
+        if dtype == jnp.float32:
+            passed = bool(e_pallas.max() <= 1e-3)
+        else:
+            passed = bool(e_pallas.max() <= 2.0 * e_xla.max() + 1e-2)
+        report[name] = {
+            "pallas_vs_oracle": round(float(e_pallas.max()), 6),
+            "xla_vs_oracle": round(float(e_xla.max()), 6),
+            "pass": passed}
+        ok = ok and passed
+    print(json.dumps({
+        "metric": f"pallas attention fwd+grads vs fp32-HIGHEST oracle at "
+                  f"generator shape (q {nq}x{c8}, kv {nk}x{c2}, batch {b}) "
+                  f"on {jax.default_backend()}: "
+                  f"{'PASS' if ok else 'FAIL'} {report}",
+        "value": report["float32"]["pallas_vs_oracle"],
+        "unit": "max abs diff (pallas vs oracle, fp32 fwd+grads)",
+        "vs_baseline": 1.0 if ok else 0.0,
+    }))
+    if not ok:
+        raise SystemExit(1)
+
+
 def main():
     from semantic_pyramid_for_image_generation_tpu.utils.cache import (
         enable_compilation_cache,
@@ -517,6 +606,12 @@ def main():
                         help="conservative lane: one jit dispatch + one "
                              "device_get sync per step (couples the number "
                              "to relay RTT; the pre-round-4 headline)")
+    parser.add_argument("--check-pallas", dest="check_pallas",
+                        action="store_true", default=False,
+                        help="assertion lane: compare the Pallas attention "
+                             "kernel (fwd + grads) against the XLA einsum "
+                             "path at the full-width generator shape on the "
+                             "current backend; exits nonzero on FAIL")
     parser.add_argument("--vgg-finetune", dest="vgg_finetune",
                         action="store_true", default=False,
                         help="time the VGG16 fine-tune step on-chip "
@@ -551,6 +646,9 @@ def main():
         return
     if args.trainer:
         trainer_bench(args)
+        return
+    if args.check_pallas:
+        check_pallas_bench(args)
         return
     if args.vgg_finetune:
         vgg_finetune_bench(args)

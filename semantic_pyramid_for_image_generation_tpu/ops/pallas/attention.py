@@ -17,7 +17,10 @@ The backward pass recomputes the attention map with plain XLA einsums
 (cheap at these sizes, saves storing the map) via custom_vjp.
 
 On non-TPU backends the kernel runs in interpreter mode, keeping tests
-device-independent.
+device-independent. On TPU, fp32 inputs route to the HIGHEST-precision XLA
+contraction instead (the torch-parity mode — the in-kernel dots run at
+Mosaic's default MXU precision, which truncates fp32 operands to bf16
+single-passes; `bench.py --check-pallas` pins both modes on-chip).
 """
 
 from __future__ import annotations
@@ -41,7 +44,27 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """The HIGHEST-precision XLA contraction — the fp32 torch-parity path
+    (identical to SelfAttention's plain path, models/layers.py:338-343)."""
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkc->bqc", p, v,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    if q.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        # fp32 is the torch-parity mode: route to the HIGHEST-precision XLA
+        # contraction. The in-kernel dots run at Mosaic's default MXU
+        # precision (operands truncated to bf16 single-passes) — measured
+        # 0.064 max forward divergence from the parity path at the generator
+        # shape, caught on-chip by `bench.py --check-pallas`. The Pallas
+        # kernel is the bf16 perf-mode path; interpret mode (tests) keeps
+        # the kernel for fp32, where it is exact.
+        return _xla_attention(q, k, v)
     b, nq, c8 = q.shape
     _, nk, c2 = v.shape
     spec = lambda n, c: pl.BlockSpec(  # noqa: E731
@@ -63,8 +86,10 @@ def _forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 @jax.custom_vjp
 def pooled_kv_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """softmax(q k^T) v with fp32 softmax, matching the XLA path in
-    models/layers.py SelfAttention bit-for-bit at fp32."""
+    """softmax(q k^T) v with fp32 softmax. bf16 inputs take the fused Pallas
+    kernel (the TPU perf mode); fp32 inputs on TPU take the
+    HIGHEST-precision XLA contraction so the torch-parity mode stays exact
+    (see _forward — the Mosaic MXU cannot run full-precision fp32 dots)."""
     return _forward(q, k, v)
 
 

