@@ -62,7 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     # scale knobs (production defaults; the offline test shrinks them)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--fid_images", type=int, default=10_000)
-    p.add_argument("--self_fid_images", type=int, default=10_000)
+    p.add_argument("--self_fid_images", type=int, default=5_000,
+                   help="images PER HALF of the real-vs-real split (2x5k "
+                        "default — the calibration in the module docstring)")
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--channel_factor", type=float, default=1.0)
     p.add_argument("--vgg_width_factor", type=int, default=1)
@@ -108,11 +110,6 @@ def run_vgg_accuracy(args, weights: str) -> tuple:
     """Top-1/top-5 @256 over Places365 val through the production eval step
     (cli.vgg16_finetune.make_eval_step + run_validation). Returns percentages
     — the units of /root/reference/README.md:79-82."""
-    import jax
-
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
     from semantic_pyramid_for_image_generation_tpu.cli.vgg16_finetune import (
         make_eval_step,
         run_validation,
@@ -166,8 +163,6 @@ def run_fid(args) -> float:
             "--load_pretrained_vgg16", args.vgg_finetuned_pt]
     if args.device == "cpu":
         argv += ["--device", "cpu"]
-    if not os.path.exists(args.inception_pt):
-        argv += ["--allow_random_fid"]
     if args.load_checkpoint:
         argv += ["--load_checkpoint", args.load_checkpoint]
     trainer = cli_main.build_trainer(
@@ -178,11 +173,7 @@ def run_fid(args) -> float:
 def run_self_fid(args) -> float:
     """Real-vs-real FID over a 2-way split of Places365 val: pins the whole
     activation pipeline with ZERO generator involvement."""
-    import jax
     import numpy as np
-
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
 
     from semantic_pyramid_for_image_generation_tpu.config import (
         PyramidGANConfig,
@@ -197,18 +188,18 @@ def run_self_fid(args) -> float:
     )
 
     cfg = PyramidGANConfig()
-    if os.path.exists(args.inception_pt):
-        from semantic_pyramid_for_image_generation_tpu.models.inception import (
-            convert_inception_state_dict,
-        )
-        from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
-            load_torch_file,
-        )
+    from semantic_pyramid_for_image_generation_tpu.models.inception import (
+        convert_inception_state_dict,
+    )
+    from semantic_pyramid_for_image_generation_tpu.utils.pt_interop import (
+        load_torch_file,
+    )
 
-        ev = FIDEvaluator(convert_inception_state_dict(
-            load_torch_file(args.inception_pt)))
-    else:  # offline test only: the pipeline runs, the value is not standard
-        ev = FIDEvaluator(allow_random=True)
+    # main() gates this evaluation on the inception artifact; a missing file
+    # here (direct call) fails loudly rather than silently scoring a
+    # random-backbone FID against the calibrated expectation
+    ev = FIDEvaluator(convert_inception_state_dict(
+        load_torch_file(args.inception_pt)))
     ds = Places365(args.places, "val.txt", cfg,
                    max_length=2 * args.self_fid_images, validation=True)
     loader = Places365Loader(ds, batch_size=min(50, args.batch_size),
@@ -229,6 +220,12 @@ def main(argv=None) -> int:
 
     if argv is None:  # script mode: artifact paths are repo-relative
         os.chdir(REPO)
+    if args.device == "cpu":
+        # before ANY evaluation touches a backend (jax_platforms is only
+        # flippable until first backend init — see tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print("artifact presence:")
     present = check_artifacts(args)
     if args.check_only or not any(present.values()):
@@ -259,7 +256,10 @@ def main(argv=None) -> int:
         fid = run_self_fid(args)
         results["self_fid"] = round(float(fid), 4)
         checks["self_fid"] = bool(fid < args.expect_self_fid_max)
-    if present["places365"] and present["vgg_finetuned"]:
+    if present["places365"] and present["vgg_finetuned"] \
+            and present["inception"]:
+        # inception gates this too: without the standard backbone the FID
+        # is a random-feature number the 300-500 band says nothing about
         lo, hi = args.expect_fid_band
         which = ("checkpoint " + args.load_checkpoint
                  if args.load_checkpoint else "untrained G")
@@ -272,9 +272,14 @@ def main(argv=None) -> int:
         checks["fid_band"] = bool(lo <= fid <= hi) \
             if not args.load_checkpoint else True
 
-    passed = all(checks.values()) if checks else False
-    print(json.dumps({"ready": True, "results": results, "checks": checks,
-                      "passed": passed}))
+    if not checks:
+        print("no evaluation unlocked by the present artifacts "
+              "(see MISSING lines above)")
+    # vacuously 0 when nothing could run: "exit 0 iff every EXECUTED check
+    # passed" (module docstring); readiness is reported separately
+    passed = all(checks.values())
+    print(json.dumps({"ready": all(present.values()), "results": results,
+                      "checks": checks, "passed": passed}))
     return 0 if passed else 1
 
 

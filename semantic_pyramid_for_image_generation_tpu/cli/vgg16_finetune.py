@@ -88,7 +88,11 @@ def resolve_resume_path(path: str):
     if not os.path.isdir(path):
         return None
     base = os.path.basename(os.path.normpath(path))
-    if base == "best" or base.startswith("latest_"):
+    # digit check mirrors the save_dir scan below: a save_dir merely NAMED
+    # latest_run must be scanned for latest_N subdirs, not treated as a
+    # checkpoint dir itself
+    if base == "best" or (base.startswith("latest_")
+                          and base.split("_")[-1].isdigit()):
         return os.path.abspath(path)
     latest = [e for e in os.listdir(path)
               if e.startswith("latest_") and e.split("_")[-1].isdigit()]

@@ -120,6 +120,39 @@ def test_check_only_reports_missing(tmp_path, capsys):
                                       "vgg_finetuned", "places365"}
 
 
+def test_no_unlocked_evaluation_is_vacuous_pass(tmp_path, capsys):
+    """Weights present but no Places365: nothing can execute, so the exit
+    code is 0 (docstring contract: '0 iff every EXECUTED check passed') and
+    the report says not-ready with an empty checks dict."""
+    for name in ("w.pt", "wf.pt", "i.pth"):
+        (tmp_path / name).write_bytes(b"x")
+    rc = selftest.main(["--places", str(tmp_path / "nowhere"),
+                        "--vgg_pt", str(tmp_path / "w.pt"),
+                        "--vgg_finetuned_pt", str(tmp_path / "wf.pt"),
+                        "--inception_pt", str(tmp_path / "i.pth")])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report == {"ready": False, "results": {}, "checks": {},
+                      "passed": True}
+
+
+@pytest.mark.slow
+def test_fid_band_gated_on_inception(artifacts, capsys):
+    """Without the inception artifact the generator-FID band check must NOT
+    run (a random-backbone FID is meaningless against the 300-500 band);
+    the VGG accuracy checks still execute."""
+    rc = selftest.main(_argv(artifacts, **{
+        "--inception_pt": [str(artifacts / "absent.pth")]}))
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report["ready"] is False
+    assert set(report["results"]) == {
+        "vgg_top1_before", "vgg_top5_before", "vgg_top1_after",
+        "vgg_top5_after"}
+    assert "fid_band" not in report["checks"]
+    assert "self_fid" not in report["checks"]
+
+
 @pytest.mark.slow
 def test_selftest_runs_end_to_end_and_wires_pass_fail(artifacts, capsys):
     """One full run with one deliberately-impossible expectation: every

@@ -119,6 +119,16 @@ def test_resolve_resume_path(tmp_path):
     assert resolve_resume_path(str(tmp_path / "best")).endswith("best")
 
 
+def test_resolve_resume_path_save_dir_named_latest(tmp_path):
+    """A save_dir merely NAMED latest_* (no numeric suffix) is scanned for
+    latest_N subdirs, not mistaken for a concrete checkpoint dir."""
+    save_dir = tmp_path / "latest_run"
+    for name in ("latest_0", "latest_3", "best"):
+        (save_dir / name).mkdir(parents=True)
+    assert resolve_resume_path(str(save_dir)).endswith(
+        os.path.join("latest_run", "latest_3"))
+
+
 def test_lr_schedule_position():
     """The decade schedule (vgg_16_train.py:252-256) — and therefore a resume
     landing at epoch 30 trains at lr/10, not lr."""
